@@ -249,12 +249,76 @@ def predict_all_modes(top_ext: jnp.ndarray, left_ext: jnp.ndarray,
 
 def predict_one_mode(top_ext, left_ext, top_f, left_f, mode, n, *,
                      is_luma=True, bit_depth=8):
-    """Predict a single (traced) mode index: computes all 35 and gathers.
+    """Predict a single traced mode per batch element.
 
-    For the reconstruction pass the per-PU mode is data-dependent; computing
-    all modes then selecting keeps shapes static. Sizes here are <= 32 so the
-    arithmetic cost is small relative to the gather-friendly layout."""
-    allm = predict_all_modes(top_ext, left_ext, top_f, left_f, n,
-                             is_luma=is_luma, bit_depth=bit_depth)
-    mode = jnp.asarray(mode)[..., None, None, None]
-    return jnp.take_along_axis(allm, mode, axis=-3)[..., 0, :, :]
+    ext arrays [..., 2n+1], mode [...] int32 in [0, 34]; out [..., n, n].
+    Costs ~3 predictions (planar + DC + one angular) instead of 35: the
+    per-mode gather tables are indexed by the traced mode.
+    """
+    log2 = int(np.log2(n))
+    maxv = (1 << bit_depth) - 1
+    use_f_tab = _filter_flags(n, True) if is_luma else np.zeros(35, dtype=bool)
+    use_f = jnp.asarray(use_f_tab)[mode][..., None]          # [..., 1]
+    top_in = jnp.where(use_f, top_f, top_ext)
+    left_in = jnp.where(use_f, left_f, left_ext)
+
+    # --- angular (generic orientation), tables gathered by mode ---
+    src, idx, didx, fact = _angular_tables(n)
+    mi = jnp.clip(mode - 2, 0, 32)
+    src_r = jnp.asarray(src)[mi]                              # [..., 3n+2]
+    idx_r = jnp.asarray(idx)[mi]
+    t = jnp.take_along_axis(top_in, idx_r, axis=-1)
+    l = jnp.take_along_axis(left_in, idx_r, axis=-1)
+    refline = jnp.where(src_r == 0, t, l)                     # [..., 3n+2]
+    didx_r = jnp.asarray(didx)[mi]                            # [..., n]
+    fact_r = jnp.asarray(fact)[mi]
+    gidx = jnp.minimum(didx_r[..., :, None] + np.arange(n)[None, :] + 1 + n,
+                       3 * n + 1)                             # [..., n(r), n(c)]
+    flat = gidx.reshape(*gidx.shape[:-2], n * n)
+    a = jnp.take_along_axis(refline, flat, axis=-1).reshape(gidx.shape)
+    b = jnp.take_along_axis(refline, jnp.minimum(flat + 1, 3 * n + 1),
+                            axis=-1).reshape(gidx.shape)
+    f = fact_r[..., :, None]
+    ang = ((32 - f) * a + f * b + 16) >> 5
+
+    corner = top_ext[..., 0:1]
+    if is_luma and n < 32:
+        is_ver = (mode == rom.VER_IDX)[..., None]
+        is_hor = (mode == rom.HOR_IDX)[..., None]
+        main = jnp.where(is_ver, top_ext[..., 1:2], left_ext[..., 1:2])
+        side = jnp.where(is_ver, left_ext[..., 1: n + 1],
+                         top_ext[..., 1: n + 1])
+        col = jnp.clip(main + ((side - corner) >> 1), 0, maxv)
+        ang = jnp.where((is_ver | is_hor)[..., None],
+                        ang.at[..., :, 0].set(col), ang)
+    ang = jnp.where((mode < 18)[..., None, None],
+                    jnp.swapaxes(ang, -1, -2), ang)
+
+    # --- planar (honors the mode-0 filter flag via top_in/left_in) ---
+    tp = jnp.where(jnp.asarray(use_f_tab[rom.PLANAR_IDX]), top_f, top_ext)
+    lp = jnp.where(jnp.asarray(use_f_tab[rom.PLANAR_IDX]), left_f, left_ext)
+    xs = jnp.arange(n, dtype=jnp.int32)
+    t_row = tp[..., 1: n + 1][..., None, :]
+    l_col = lp[..., 1: n + 1][..., :, None]
+    tr = tp[..., n + 1: n + 2][..., None, :]
+    bl = lp[..., n + 1: n + 2][..., :, None]
+    planar = ((n - 1 - xs)[None, :] * l_col + (xs + 1)[None, :] * tr
+              + (n - 1 - xs)[:, None] * t_row + (xs + 1)[:, None] * bl
+              + n) >> (log2 + 1)
+
+    # --- DC ---
+    dc = (jnp.sum(top_ext[..., 1: n + 1], axis=-1)
+          + jnp.sum(left_ext[..., 1: n + 1], axis=-1) + n) >> (log2 + 1)
+    dc_blk = jnp.broadcast_to(dc[..., None, None], planar.shape)
+    if is_luma and n < 32:
+        t_u = top_ext[..., 1: n + 1]
+        l_u = left_ext[..., 1: n + 1]
+        dc_blk = dc_blk.at[..., 0, :].set((t_u + 3 * dc[..., None] + 2) >> 2)
+        dc_blk = dc_blk.at[..., 1:, 0].set(
+            (l_u[..., 1:] + 3 * dc[..., None] + 2) >> 2)
+        dc_blk = dc_blk.at[..., 0, 0].set(
+            (l_u[..., 0] + 2 * dc + t_u[..., 0] + 2) >> 2)
+
+    mode_b = mode[..., None, None]
+    return jnp.where(mode_b == rom.PLANAR_IDX, planar,
+                     jnp.where(mode_b == rom.DC_IDX, dc_blk, ang))

@@ -83,3 +83,23 @@ def test_fill_reference_substitution():
         assert (np.asarray(top_ext)[0][1:] == want.top).all()
         assert (np.asarray(left_ext)[0][1:] == want.left).all()
         assert np.asarray(top_ext)[0][0] == want.corner
+
+
+@pytest.mark.parametrize("n", [4, 8, 16, 32])
+@pytest.mark.parametrize("is_luma", [True, False])
+def test_predict_one_mode_matches_all(n, is_luma):
+    rng = np.random.default_rng(77 + n)
+    B = 6
+    tops = rng.integers(0, 256, (B, 2 * n)).astype(np.int32)
+    lefts = rng.integers(0, 256, (B, 2 * n)).astype(np.int32)
+    corners = rng.integers(0, 256, (B, 1)).astype(np.int32)
+    top_ext = np.concatenate([corners, tops], axis=-1)
+    left_ext = np.concatenate([corners, lefts], axis=-1)
+    tf, lf = intra.smooth_reference(top_ext, left_ext, n)
+    allm = np.asarray(intra.predict_all_modes(
+        top_ext, left_ext, tf, lf, n, is_luma=is_luma))
+    modes = np.concatenate([np.arange(6), rng.integers(0, 35, B - 6)]).astype(np.int32)[:B]
+    one = np.asarray(intra.predict_one_mode(
+        top_ext, left_ext, tf, lf, modes, n, is_luma=is_luma))
+    for i in range(B):
+        assert (one[i] == allm[i, modes[i]]).all(), (i, modes[i], n, is_luma)
