@@ -1,0 +1,273 @@
+"""Parameter-set and slice-header writers/parsers for the All-Intra
+operating point.
+
+Equivalent of the reference's TEncCavlc parameter-set writers
+(TEncCavlc.cpp codeVPS/codeSPS/codePPS/codeSliceHeader) but for the fixed
+IDR-only configuration this encoder emits: Main profile 4:2:0 8-bit, CTB 64,
+CU 8..64, TU 4..32 (no explicit TU split), SAO/deblocking off, every frame an
+IDR (the reference's IntraPeriod=1 / GOPSize=1 cfg, encoder_intra_main.cfg).
+Syntax follows H.265 7.3.2-7.3.6.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+from hevctpu.codec.bitio import BitReader, BitWriter
+
+NAL_IDR_W_RADL = 19
+NAL_VPS = 32
+NAL_SPS = 33
+NAL_PPS = 34
+
+
+@dataclasses.dataclass
+class StreamConfig:
+    width: int
+    height: int
+    qp: int
+    strong_intra_smoothing: bool = True
+    sign_data_hiding: bool = False
+    max_tu_depth_intra: int = 0
+
+
+def _profile_tier_level(bw: BitWriter):
+    bw.u(0, 2)            # general_profile_space
+    bw.u(0, 1)            # general_tier_flag
+    bw.u(1, 5)            # general_profile_idc = Main
+    bw.u(1 << 30, 32)     # compatibility flags: profile 1
+    bw.u(1, 1)            # general_progressive_source_flag
+    bw.u(0, 1)            # general_interlaced_source_flag
+    bw.u(0, 1)            # general_non_packed_constraint_flag
+    bw.u(0, 1)            # general_frame_only_constraint_flag
+    bw.u(0, 32)           # reserved 44 bits
+    bw.u(0, 12)
+    bw.u(120, 8)          # general_level_idc (4.0)
+
+
+def _skip_ptl(br: BitReader):
+    br.u(2 + 1 + 5)
+    br.u(32)
+    br.u(4)
+    br.u(32)
+    br.u(12)
+    br.u(8)
+
+
+def write_vps(cfg: StreamConfig) -> bytes:
+    bw = BitWriter()
+    bw.u(0, 4)            # vps_video_parameter_set_id
+    bw.u(1, 1)            # vps_base_layer_internal_flag
+    bw.u(1, 1)            # vps_base_layer_available_flag
+    bw.u(0, 6)            # vps_max_layers_minus1
+    bw.u(0, 3)            # vps_max_sub_layers_minus1
+    bw.u(1, 1)            # vps_temporal_id_nesting_flag
+    bw.u(0xFFFF, 16)      # vps_reserved_0xffff_16bits
+    _profile_tier_level(bw)
+    bw.flag(0)            # vps_sub_layer_ordering_info_present_flag
+    bw.ue(1)              # vps_max_dec_pic_buffering_minus1
+    bw.ue(0)              # vps_max_num_reorder_pics
+    bw.ue(0)              # vps_max_latency_increase_plus1
+    bw.u(0, 6)            # vps_max_layer_id
+    bw.ue(0)              # vps_num_layer_sets_minus1
+    bw.flag(0)            # vps_timing_info_present_flag
+    bw.flag(0)            # vps_extension_flag
+    bw.byte_align_rbsp()
+    return bw.data()
+
+
+def write_sps(cfg: StreamConfig) -> bytes:
+    bw = BitWriter()
+    bw.u(0, 4)            # sps_video_parameter_set_id
+    bw.u(0, 3)            # sps_max_sub_layers_minus1
+    bw.u(1, 1)            # sps_temporal_id_nesting_flag
+    _profile_tier_level(bw)
+    bw.ue(0)              # sps_seq_parameter_set_id
+    bw.ue(1)              # chroma_format_idc = 4:2:0
+    bw.ue(cfg.width)
+    bw.ue(cfg.height)
+    bw.flag(0)            # conformance_window_flag
+    bw.ue(0)              # bit_depth_luma_minus8
+    bw.ue(0)              # bit_depth_chroma_minus8
+    bw.ue(4)              # log2_max_pic_order_cnt_lsb_minus4
+    bw.flag(0)            # sps_sub_layer_ordering_info_present_flag
+    bw.ue(1)              # sps_max_dec_pic_buffering_minus1
+    bw.ue(0)              # sps_max_num_reorder_pics
+    bw.ue(0)              # sps_max_latency_increase_plus1
+    bw.ue(0)              # log2_min_luma_coding_block_size_minus3 -> 8
+    bw.ue(3)              # log2_diff_max_min -> CTB 64
+    bw.ue(0)              # log2_min_luma_transform_block_size_minus2 -> 4
+    bw.ue(3)              # log2_diff -> max TB 32
+    bw.ue(0)              # max_transform_hierarchy_depth_inter
+    bw.ue(cfg.max_tu_depth_intra)  # max_transform_hierarchy_depth_intra
+    bw.flag(0)            # scaling_list_enabled_flag
+    bw.flag(0)            # amp_enabled_flag
+    bw.flag(0)            # sample_adaptive_offset_enabled_flag
+    bw.flag(0)            # pcm_enabled_flag
+    bw.ue(0)              # num_short_term_ref_pic_sets
+    bw.flag(0)            # long_term_ref_pics_present_flag
+    bw.flag(0)            # sps_temporal_mvp_enabled_flag
+    bw.flag(cfg.strong_intra_smoothing)
+    bw.flag(0)            # vui_parameters_present_flag
+    bw.flag(0)            # sps_extension_present_flag
+    bw.byte_align_rbsp()
+    return bw.data()
+
+
+def write_pps(cfg: StreamConfig) -> bytes:
+    bw = BitWriter()
+    bw.ue(0)              # pps_pic_parameter_set_id
+    bw.ue(0)              # pps_seq_parameter_set_id
+    bw.flag(0)            # dependent_slice_segments_enabled_flag
+    bw.flag(0)            # output_flag_present_flag
+    bw.u(0, 3)            # num_extra_slice_header_bits
+    bw.flag(cfg.sign_data_hiding)
+    bw.flag(0)            # cabac_init_present_flag
+    bw.ue(0)              # num_ref_idx_l0_default_active_minus1
+    bw.ue(0)              # num_ref_idx_l1_default_active_minus1
+    bw.se(0)              # init_qp_minus26
+    bw.flag(0)            # constrained_intra_pred_flag
+    bw.flag(0)            # transform_skip_enabled_flag
+    bw.flag(0)            # cu_qp_delta_enabled_flag
+    bw.se(0)              # pps_cb_qp_offset
+    bw.se(0)              # pps_cr_qp_offset
+    bw.flag(0)            # pps_slice_chroma_qp_offsets_present_flag
+    bw.flag(0)            # weighted_pred_flag
+    bw.flag(0)            # weighted_bipred_flag
+    bw.flag(0)            # transquant_bypass_enabled_flag
+    bw.flag(0)            # tiles_enabled_flag
+    bw.flag(0)            # entropy_coding_sync_enabled_flag
+    bw.flag(1)            # pps_loop_filter_across_slices_enabled_flag
+    bw.flag(1)            # deblocking_filter_control_present_flag
+    bw.flag(0)            # deblocking_filter_override_enabled_flag
+    bw.flag(1)            # pps_deblocking_filter_disabled_flag
+    bw.flag(0)            # pps_scaling_list_data_present_flag
+    bw.flag(0)            # lists_modification_present_flag
+    bw.ue(0)              # log2_parallel_merge_level_minus2
+    bw.flag(0)            # slice_segment_header_extension_present_flag
+    bw.flag(0)            # pps_extension_present_flag
+    bw.byte_align_rbsp()
+    return bw.data()
+
+
+def write_slice_header(cfg: StreamConfig) -> BitWriter:
+    """IDR I-slice header; returns the writer so CABAC data can follow."""
+    bw = BitWriter()
+    bw.flag(1)            # first_slice_segment_in_pic_flag
+    bw.flag(0)            # no_output_of_prior_pics_flag (IRAP)
+    bw.ue(0)              # slice_pic_parameter_set_id
+    bw.ue(2)              # slice_type = I
+    bw.se(cfg.qp - 26)    # slice_qp_delta
+    # deblocking: override disabled, PPS says disabled -> nothing more
+    bw.u(1, 1)            # byte_alignment: alignment_bit_equal_to_one
+    bw.align_zero()
+    return bw
+
+
+# ---------------------------------------------------------------------------
+# Parsers (verification decoder) — they accept general conforming headers for
+# the subset of tools this codec emits and assert on anything else.
+# ---------------------------------------------------------------------------
+
+
+def parse_sps(rbsp: bytes) -> dict:
+    br = BitReader(rbsp)
+    br.u(4 + 3 + 1)
+    _skip_ptl(br)
+    sps = {}
+    assert br.ue() == 0  # sps id
+    sps["chroma_format_idc"] = br.ue()
+    sps["width"] = br.ue()
+    sps["height"] = br.ue()
+    if br.flag():  # conformance window
+        for _ in range(4):
+            br.ue()
+    sps["bit_depth_luma"] = br.ue() + 8
+    sps["bit_depth_chroma"] = br.ue() + 8
+    sps["log2_max_poc_lsb"] = br.ue() + 4
+    sub_ordering = br.flag()
+    for _ in range(1 if not sub_ordering else 1):
+        br.ue(), br.ue(), br.ue()
+    sps["log2_min_cb"] = br.ue() + 3
+    sps["log2_ctb"] = sps["log2_min_cb"] + br.ue()
+    sps["log2_min_tb"] = br.ue() + 2
+    sps["log2_max_tb"] = sps["log2_min_tb"] + br.ue()
+    sps["max_tu_depth_inter"] = br.ue()
+    sps["max_tu_depth_intra"] = br.ue()
+    assert not br.flag(), "scaling lists unsupported"
+    sps["amp"] = br.flag()
+    sps["sao"] = br.flag()
+    assert not br.flag(), "PCM unsupported"
+    assert br.ue() == 0, "ref pic sets unsupported"
+    assert not br.flag(), "long-term refs unsupported"
+    br.flag()  # temporal mvp
+    sps["strong_intra_smoothing"] = br.flag()
+    return sps
+
+
+def parse_pps(rbsp: bytes) -> dict:
+    br = BitReader(rbsp)
+    pps = {}
+    assert br.ue() == 0 and br.ue() == 0
+    assert not br.flag(), "dependent slices unsupported"
+    pps["output_flag_present"] = br.flag()
+    assert br.u(3) == 0
+    pps["sign_data_hiding"] = br.flag()
+    pps["cabac_init_present"] = br.flag()
+    br.ue(), br.ue()
+    pps["init_qp"] = br.se() + 26
+    pps["constrained_intra_pred"] = br.flag()
+    pps["transform_skip"] = br.flag()
+    pps["cu_qp_delta"] = br.flag()
+    if pps["cu_qp_delta"]:
+        br.ue()
+    pps["cb_qp_offset"] = br.se()
+    pps["cr_qp_offset"] = br.se()
+    pps["slice_chroma_qp_offsets"] = br.flag()
+    br.flag(), br.flag()
+    assert not br.flag(), "transquant bypass unsupported"
+    assert not br.flag(), "tiles unsupported"
+    pps["wpp"] = br.flag()
+    assert not pps["wpp"], "WPP unsupported"
+    br.flag()  # loop filter across slices
+    if br.flag():  # deblocking control present
+        pps["deblock_override"] = br.flag()
+        pps["deblock_disabled"] = br.flag()
+    else:
+        pps["deblock_override"] = False
+        pps["deblock_disabled"] = False
+    assert not br.flag(), "pps scaling list unsupported"
+    br.flag()
+    br.ue()
+    br.flag()
+    return pps
+
+
+def parse_slice_header(rbsp: bytes, sps: dict, pps: dict, nal_type: int):
+    br = BitReader(rbsp)
+    sh = {}
+    assert br.flag(), "only single-slice pictures supported"
+    if 16 <= nal_type <= 23:
+        br.flag()  # no_output_of_prior_pics
+    assert br.ue() == 0  # pps id
+    sh["slice_type"] = br.ue()
+    assert sh["slice_type"] == 2, "only I slices supported"
+    if pps["output_flag_present"]:
+        br.flag()
+    if nal_type not in (19, 20):  # not IDR: poc etc.
+        br.u(sps["log2_max_poc_lsb"])
+        assert False, "non-IDR unsupported"
+    if sps["sao"]:
+        sh["sao_luma"] = br.flag()
+        sh["sao_chroma"] = br.flag()
+    sh["qp"] = pps["init_qp"] + br.se()
+    if pps["slice_chroma_qp_offsets"]:
+        br.se(), br.se()
+    if pps["deblock_override"]:
+        raise NotImplementedError
+    # byte alignment
+    assert br.u(1) == 1
+    while not br.byte_aligned():
+        assert br.u(1) == 0
+    sh["data_offset"] = br.byte_pos
+    return sh

@@ -1,0 +1,341 @@
+"""Slice-data syntax: the CTU/CU/TU CABAC layer, encoder and mirror decoder.
+
+Equivalent of the reference's TEncSbac / TEncEntropy syntax coding
+(TEncSbac.cpp:613-1540 — split flags, intra modes w/ MPM, CBFs, last-sig
+position, coefficient groups with sig/gt1/gt2/sign/remaining) and the
+TDecSbac mirror, written from H.265 7.3.8 / 9.3.3 / 9.3.4. Operates on the
+per-slot decision arrays the TPU encoder emits (depth8 / coded8 / mode8 /
+cbf planes / level planes).
+
+Operating point (matches codec/headers.py): I-slices only, part 2Nx2N,
+derived chroma mode, no explicit TU split, no transform-skip, no SBH.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from hevctpu import rom
+from hevctpu.codec import headers
+from hevctpu.codec.bitio import BitWriter
+from hevctpu.codec.cabac import CabacDecoder, CabacEncoder, ContextSet
+
+
+def derive_mpm(mode8: np.ndarray, x0: int, y0: int) -> list[int]:
+    """3-entry most-probable-mode list (H.265 8.4.2). mode8 is the per-slot
+    luma mode map; unavailable or above-CTB neighbors count as DC."""
+    if x0 == 0:
+        cand_a = rom.DC_IDX
+    else:
+        cand_a = int(mode8[y0 // 8, (x0 - 1) // 8])
+    if y0 == 0 or y0 % 64 == 0:
+        cand_b = rom.DC_IDX
+    else:
+        cand_b = int(mode8[(y0 - 1) // 8, x0 // 8])
+    if cand_a == cand_b:
+        if cand_a < 2:
+            return [rom.PLANAR_IDX, rom.DC_IDX, rom.VER_IDX]
+        return [cand_a, 2 + ((cand_a + 29) % 32), 2 + ((cand_a - 2 + 1) % 32)]
+    lst = [cand_a, cand_b]
+    if rom.PLANAR_IDX not in lst:
+        lst.append(rom.PLANAR_IDX)
+    elif rom.DC_IDX not in lst:
+        lst.append(rom.DC_IDX)
+    else:
+        lst.append(rom.VER_IDX)
+    return lst
+
+
+def _last_ctx(pos: int, log2: int, is_luma: bool):
+    """(ctx_idx, uses_ctx_array) pairs for each prefix bin of the last-sig
+    position (9.3.4.2.3)."""
+    if is_luma:
+        offset = 3 * (log2 - 2) + ((log2 - 1) >> 2)
+        shift = (log2 + 1) >> 2
+    else:
+        offset = 0
+        shift = log2 - 2
+    return offset, shift
+
+
+def _sig_ctx(x: int, y: int, log2: int, scan_idx: int, is_luma: bool,
+             prev_csbf: int) -> int:
+    """sig_coeff_flag ctxInc within the component's own context array
+    (9.3.4.2.5)."""
+    if log2 == 2:
+        return int(rom.SIG_CTX_4X4[4 * y + x])
+    if x == 0 and y == 0:
+        return 0
+    xp, yp = x & 3, y & 3
+    if prev_csbf == 0:
+        s = 2 if xp + yp == 0 else (1 if xp + yp < 3 else 0)
+    elif prev_csbf == 1:
+        s = 2 if yp == 0 else (1 if yp == 1 else 0)
+    elif prev_csbf == 2:
+        s = 2 if xp == 0 else (1 if xp == 1 else 0)
+    else:
+        s = 2
+    if is_luma and (x >= 4 or y >= 4):
+        s += 3
+    if log2 == 3:
+        s += (9 if scan_idx == rom.SCAN_DIAG else 15) if is_luma else 9
+    else:
+        s += 21 if is_luma else 12
+    return s
+
+
+class _Walker:
+    """Shared quadtree traversal driving either the encoder or decoder."""
+
+    def __init__(self, cfg: headers.StreamConfig):
+        self.cfg = cfg
+        self.w = cfg.width
+        self.h = cfg.height
+        self.rc = -(-cfg.height // 64)
+        self.cc = -(-cfg.width // 64)
+
+
+class SliceEncoder(_Walker):
+    """Serializes one frame's decisions into a slice-data RBSP."""
+
+    def __init__(self, cfg, frame: dict, frame_idx: int = 0):
+        super().__init__(cfg)
+        self.f = frame
+        self.i = frame_idx
+        self.depth8 = frame["depth8"][frame_idx]
+        self.coded8 = frame["coded8"][frame_idx]
+        self.mode8 = frame["mode8"][frame_idx]
+        self.cbf = {0: frame["cbf_y"][frame_idx], 1: frame["cbf_u"][frame_idx],
+                    2: frame["cbf_v"][frame_idx]}
+        self.levels = {0: frame["levels_y"][frame_idx],
+                       1: frame["levels_u"][frame_idx],
+                       2: frame["levels_v"][frame_idx]}
+
+    def encode(self) -> bytes:
+        bw = headers.write_slice_header(self.cfg)
+        self.ctx = ContextSet(self.cfg.qp, init_type=0)
+        self.c = CabacEncoder(bw)
+        n_ctu = self.rc * self.cc
+        for a in range(n_ctu):
+            r, c = divmod(a, self.cc)
+            self._quadtree(64 * c, 64 * r, 6)
+            self.c.encode_terminate(1 if a == n_ctu - 1 else 0)
+        # terminate(1) already flushed the engine; rbsp stop bit:
+        bw.u(1, 1)
+        bw.align_zero()
+        return bw.data()
+
+    # -- quadtree ----------------------------------------------------------
+
+    def _quadtree(self, x0, y0, log2):
+        if x0 >= self.w or y0 >= self.h:
+            return
+        size = 1 << log2
+        d = 6 - log2
+        inside = x0 + size <= self.w and y0 + size <= self.h
+        split = self.depth8[y0 // 8, x0 // 8] > d
+        if inside and log2 > 3:
+            ctx = 0
+            if x0 > 0 and self.depth8[y0 // 8, (x0 - 1) // 8] > d:
+                ctx += 1
+            if y0 > 0 and self.depth8[(y0 - 1) // 8, x0 // 8] > d:
+                ctx += 1
+            self.c.encode_bin(self.ctx("split_cu_flag", ctx), int(split))
+        elif not inside:
+            split = log2 > 3  # inferred
+        if split:
+            h = size // 2
+            for dy, dx in ((0, 0), (0, h), (h, 0), (h, h)):
+                self._quadtree(x0 + dx, y0 + dy, log2 - 1)
+        else:
+            self._coding_unit(x0, y0, log2)
+
+    def _coding_unit(self, x0, y0, log2):
+        if log2 == 3:
+            self.c.encode_bin(self.ctx("part_mode", 0), 1)  # PART_2Nx2N
+        mode = int(self.mode8[y0 // 8, x0 // 8])
+        mpm = derive_mpm(self.mode8, x0, y0)
+        if mode in mpm:
+            self.c.encode_bin(self.ctx("prev_intra_luma_pred", 0), 1)
+            idx = mpm.index(mode)
+            self.c.encode_bypass(min(idx, 1))
+            if idx:
+                self.c.encode_bypass(idx - 1)
+        else:
+            self.c.encode_bin(self.ctx("prev_intra_luma_pred", 0), 0)
+            rem = mode - sum(1 for m in sorted(mpm) if m < mode)
+            self.c.encode_bypass_bins(rem, 5)
+        # intra_chroma_pred_mode = derived
+        self.c.encode_bin(self.ctx("intra_chroma_pred_mode", 0), 0)
+        self._transform_tree(x0, y0, log2, log2, 0, True, True, mode)
+
+    # -- transform tree ----------------------------------------------------
+
+    def _node_cbf(self, comp, x0, y0, log2):
+        s = 1 << (log2 - 3) if log2 >= 3 else 1
+        sl = self.cbf[comp][y0 // 8: y0 // 8 + max(s, 1),
+                            x0 // 8: x0 // 8 + max(s, 1)]
+        return bool(sl.any())
+
+    def _transform_tree(self, x0, y0, log2, cu_log2, depth, pcb, pcr, mode):
+        split = log2 > 5
+        code_chroma = log2 > 2
+        cb = self._node_cbf(1, x0, y0, log2)
+        cr = self._node_cbf(2, x0, y0, log2)
+        if code_chroma:
+            if pcb:
+                self.c.encode_bin(self.ctx("cbf_chroma", depth), int(cb))
+            if pcr:
+                self.c.encode_bin(self.ctx("cbf_chroma", depth), int(cr))
+        if split:
+            h = 1 << (log2 - 1)
+            for dy, dx in ((0, 0), (0, h), (h, 0), (h, h)):
+                self._transform_tree(x0 + dx, y0 + dy, log2 - 1, cu_log2,
+                                     depth + 1, cb, cr, mode)
+            return
+        cbf_l = bool(self.cbf[0][y0 // 8, x0 // 8])
+        self.c.encode_bin(self.ctx("cbf_luma", 1 if depth == 0 else 0),
+                          int(cbf_l))
+        if cbf_l:
+            self._residual(x0, y0, log2, 0, mode)
+        if code_chroma:
+            if cb:
+                self._residual(x0 // 2, y0 // 2, log2 - 1, 1, mode)
+            if cr:
+                self._residual(x0 // 2, y0 // 2, log2 - 1, 2, mode)
+
+    # -- residual coding ---------------------------------------------------
+
+    def _residual(self, x0, y0, log2, comp, mode):
+        n = 1 << log2
+        blk = self.levels[comp][y0: y0 + n, x0: x0 + n]
+        is_luma = comp == 0
+        scan_idx = rom.coef_scan_idx(mode, log2, is_luma)
+        scan = rom.tb_scan(scan_idx, log2)
+        coeffs = blk[scan[:, 0], scan[:, 1]]
+        nz = np.nonzero(coeffs)[0]
+        assert len(nz), "residual_coding called with all-zero block"
+        last = int(nz[-1])
+
+        lx, ly = int(scan[last, 1]), int(scan[last, 0])
+        if scan_idx == rom.SCAN_VER:
+            lx, ly = ly, lx
+        self._code_last(lx, ly, log2, is_luma)
+
+        num_cg = 1 << (2 * (log2 - 2))
+        last_cg = last >> 4
+        csbf = np.zeros(num_cg, dtype=bool)
+        for cg in range(num_cg):
+            csbf[cg] = bool(coeffs[16 * cg: 16 * cg + 16].any())
+        cgs = rom.scan_order(scan_idx, max(n // 4, 1))
+
+        name_cs = "coded_sub_block_luma" if is_luma else "coded_sub_block_chroma"
+        name_sig = "sig_coeff_luma" if is_luma else "sig_coeff_chroma"
+        name_g1 = "coeff_abs_gt1_luma" if is_luma else "coeff_abs_gt1_chroma"
+        name_g2 = "coeff_abs_gt2_luma" if is_luma else "coeff_abs_gt2_chroma"
+        gt1_carry = 1  # greater1Ctx at end of previous CG
+
+        for cg in range(last_cg, -1, -1):
+            cy, cx = int(cgs[cg, 0]), int(cgs[cg, 1])
+            prev_csbf = _prev_csbf(csbf, cgs, cy, cx, n)
+            csbf_coded = 0 < cg < last_cg
+            if csbf_coded:
+                self.c.encode_bin(self.ctx(name_cs, min(prev_csbf, 1)),
+                                  int(csbf[cg]))
+            cur_csbf = bool(csbf[cg]) or cg == last_cg or cg == 0
+            if not cur_csbf or not csbf[cg] and cg != last_cg and cg != 0:
+                if csbf_coded and not csbf[cg]:
+                    continue
+            if not csbf[cg] and csbf_coded:
+                continue
+
+            lo = 16 * cg
+            infer_dc = csbf_coded  # inferSbDcSigCoeffFlag init (7.3.8.11)
+            others_nonzero = any(coeffs[j] for j in range(lo + 1, lo + 16))
+            start = last - 1 if cg == last_cg else lo + 15
+            for i in range(start, lo - 1, -1):
+                if i == lo and infer_dc and not others_nonzero:
+                    break  # sig inferred 1
+                yy, xx = int(scan[i, 0]), int(scan[i, 1])
+                ctx = _sig_ctx(xx, yy, log2, scan_idx, is_luma, prev_csbf)
+                self.c.encode_bin(self.ctx(name_sig, ctx),
+                                  int(bool(coeffs[i])))
+
+            sig_rev = [i for i in range(lo + 15, lo - 1, -1) if coeffs[i]]
+            if not sig_rev:
+                continue  # inferred-csbf group that is entirely zero
+            # greater1 / greater2 / signs / remaining, reverse scan
+            ctx_set = 0 if (cg == 0 or not is_luma) else 2
+            if gt1_carry == 0:
+                ctx_set += 1
+            g1ctx = 1
+            gt1_flags = {}
+            for i in sig_rev[:8]:
+                flag = int(abs(int(coeffs[i])) > 1)
+                self.c.encode_bin(
+                    self.ctx(name_g1, ctx_set * 4 + min(g1ctx, 3)), flag)
+                gt1_flags[i] = flag
+                if flag:
+                    g1ctx = 0
+                elif 0 < g1ctx < 3:
+                    g1ctx += 1
+            gt1_carry = g1ctx
+            first_g1 = next((i for i in sig_rev[:8] if gt1_flags[i]), None)
+            if first_g1 is not None:
+                self.c.encode_bin(self.ctx(name_g2, ctx_set),
+                                  int(abs(int(coeffs[first_g1])) > 2))
+            for i in sig_rev:
+                self.c.encode_bypass(1 if coeffs[i] < 0 else 0)
+            rice = 0
+            for k, i in enumerate(sig_rev):
+                v = abs(int(coeffs[i]))
+                if k < 8:
+                    base = (3 if i == first_g1 else 2) if gt1_flags[i] else 1
+                    if not gt1_flags[i]:
+                        base = 2  # v == 1 here, no remaining follows
+                else:
+                    base = 1
+                if v >= base:
+                    self._code_remaining(v - base, rice)
+                    if v > (3 << rice):
+                        rice = min(rice + 1, 4)
+
+    def _code_last(self, lx, ly, log2, is_luma):
+        name = "last_sig_xy_luma" if is_luma else "last_sig_xy_chroma"
+        offset, shift = _last_ctx(0, log2, is_luma)
+        gmax = (log2 << 1) - 1
+        for val in (lx, ly):
+            prefix = self._last_prefix(val)
+            for b in range(min(prefix, gmax)):
+                self.c.encode_bin(self.ctx(name, offset + (b >> shift)), 1)
+            if prefix < gmax:
+                self.c.encode_bin(self.ctx(name, offset + (prefix >> shift)), 0)
+        for val in (lx, ly):
+            prefix = self._last_prefix(val)
+            if prefix > 3:
+                nbits = (prefix >> 1) - 1
+                suffix = val - ((2 + (prefix & 1)) << nbits)
+                self.c.encode_bypass_bins(suffix, nbits)
+
+    @staticmethod
+    def _last_prefix(val):
+        if val <= 3:
+            return val
+        nbits = max(val.bit_length() - 2, 1)
+        return ((val >> nbits) - 2 + 1) + (nbits << 1) if False else \
+            2 * nbits + ((val >> nbits) & 1) + 2
+
+    def _code_remaining(self, v, c):
+        q = v >> c
+        if q < 4:
+            self.c.encode_bypass_bins((1 << (q + 1)) - 2, q + 1)  # unary+0
+            if c:
+                self.c.encode_bypass_bins(v & ((1 << c) - 1), c)
+        else:
+            v2 = v - (4 << c)
+            k = c + 1
+            while v2 >= (1 << k):
+                v2 -= 1 << k
+                k += 1
+            self.c.encode_bypass_bins((1 << (4 + k - c)) - 2, 4 + k - c)
+            self.c.encode_bypass_bins(v2, k)

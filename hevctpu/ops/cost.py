@@ -16,11 +16,11 @@ from hevctpu.ops.transforms import exact_i32_matmul
 
 
 @functools.lru_cache(maxsize=None)
-def _hadamard(n: int) -> jnp.ndarray:
+def _hadamard(n: int) -> np.ndarray:
     h = np.array([[1]], dtype=np.int32)
     while h.shape[0] < n:
         h = np.block([[h, h], [h, -h]])
-    return jnp.asarray(h)
+    return h
 
 
 def sse(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
@@ -30,7 +30,7 @@ def sse(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 
 
 def _hadamard_abs_sum(diff: jnp.ndarray, n: int) -> jnp.ndarray:
-    h = _hadamard(n)
+    h = jnp.asarray(_hadamard(n))
     t = exact_i32_matmul(h, diff)
     t = exact_i32_matmul(h, jnp.swapaxes(t, -1, -2))
     return jnp.sum(jnp.abs(t), axis=(-2, -1))

@@ -144,23 +144,50 @@ def boundary_available(oy: int, ox: int, n: int, z_tu: int,
     """
     span = 64 // scale
     dy, dx = boundary_offsets(n)
-    ly = oy + dy  # CTU-local coords of each boundary sample
-    lx = ox + dx
-    fy = ctu_y[..., None] + ly  # picture coords
-    fx = ctu_x[..., None] + lx
+    oy = np.asarray(oy)
+    ox = np.asarray(ox)
+    ly = oy[..., None] + dy if oy.ndim else oy + dy  # CTU-local, static numpy
+    lx = ox[..., None] + dx if ox.ndim else ox + dx
+    fy = jnp.asarray(ctu_y)[..., None] + ly  # picture coords (may be traced)
+    fx = jnp.asarray(ctu_x)[..., None] + lx
     inside = (fy >= 0) & (fx >= 0) & (fy < h) & (fx < w)
 
     same_ctu = (ly >= 0) & (lx >= 0) & (ly < span) & (lx < span)
     zmap = morton(span // 4)  # z index of each 4-sample unit in this plane
-    zb = jnp.asarray(
-        zmap[np.clip(ly, 0, span - 1) // 4, np.clip(lx, 0, span - 1) // 4])
+    zb = zmap[np.clip(ly, 0, span - 1) // 4, np.clip(lx, 0, span - 1) // 4]
+    z_tu = np.asarray(z_tu)
+    decoded_same = zb < (z_tu[..., None] if z_tu.ndim else z_tu)
+
+    # another CTU: for the only reachable cases — left, above, above-left,
+    # above-right — the wavefront order d = 2r + c has already decoded it;
+    # the below-left region (ly >= span) has not.
+    above = ly < 0
+    left_of = (lx < 0) & (ly >= 0) & (ly < span)
+    decoded = np.where(same_ctu, decoded_same, above | left_of)
+    return inside & jnp.asarray(decoded)
+
+
+def boundary_available_traced(oy, ox, n: int, ctu_y, ctu_x, h: int, w: int,
+                              scale: int = 1):
+    """Same availability rule as boundary_available, but with *traced* TU
+    origins (oy, ox): used inside lax.scan bodies where the TU position is a
+    loop index. The TU z-index is derived from the origin via the morton
+    table."""
+    span = 64 // scale
+    dy, dx = boundary_offsets(n)
+    ly = oy + jnp.asarray(dy)
+    lx = ox + jnp.asarray(dx)
+    fy = jnp.asarray(ctu_y)[..., None] + ly
+    fx = jnp.asarray(ctu_x)[..., None] + lx
+    inside = (fy >= 0) & (fx >= 0) & (fy < h) & (fx < w)
+
+    same_ctu = (ly >= 0) & (lx >= 0) & (ly < span) & (lx < span)
+    zmap = jnp.asarray(morton(span // 4))
+    zb = zmap[jnp.clip(ly, 0, span - 1) // 4, jnp.clip(lx, 0, span - 1) // 4]
+    z_tu = zmap[oy // 4, ox // 4]
     decoded_same = zb < z_tu
 
-    # another CTU: left (dxc<0, same row), above (dyc<0): decoded iff its
-    # wavefront index 2r+c is smaller, which for the only reachable cases
-    # (left, above, above-left, above-right) is always true.
     above = ly < 0
-    left_of = (lx < 0) & (ly >= 0)
-    other_ok = above | left_of  # below-left region (ly >= span) is not decoded
-    decoded = jnp.where(same_ctu, decoded_same, other_ok & (ly < span))
+    left_of = (lx < 0) & (ly >= 0) & (ly < span)
+    decoded = jnp.where(same_ctu, decoded_same, above | left_of)
     return inside & decoded

@@ -24,11 +24,15 @@ from hevctpu import rom
 
 
 @functools.lru_cache(maxsize=None)
-def _mat(log2_size: int, dst: bool, transpose: bool) -> jnp.ndarray:
+def _mat_np(log2_size: int, dst: bool, transpose: bool) -> np.ndarray:
     m = rom.DST4 if dst else rom.dct_matrix(1 << log2_size)
     if transpose:
         m = m.T
-    return jnp.asarray(np.ascontiguousarray(m), dtype=jnp.int32)
+    return np.ascontiguousarray(m).astype(np.int32)
+
+
+def _mat(log2_size: int, dst: bool, transpose: bool) -> jnp.ndarray:
+    return jnp.asarray(_mat_np(log2_size, dst, transpose))
 
 
 def exact_i32_matmul(t: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:

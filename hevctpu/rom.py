@@ -142,7 +142,7 @@ INTRA_INV_ANGLE = np.array(
 # Reference-sample smoothing-filter decision thresholds, indexed by
 # log2(size): minDistVerHor must exceed this for the [1 2 1] filter to apply
 # (H.265 8.4.4.2.3; reference behavior: TComPattern.cpp:545).
-INTRA_FILTER_THRES = {3: 7, 4: 1, 5: 0}  # 8x8, 16x16, 32x32
+INTRA_FILTER_THRES = {3: 7, 4: 1, 5: 0, 6: 0}  # 8..32 normative; 64 search-only
 
 # Number of full-RD intra candidates by log2(CU size) when MPMs are added
 # separately (reference: TComRom.cpp:545-552, index = log2(size)-1... we key
@@ -184,6 +184,20 @@ def scan_order(scan_idx: int, size: int) -> np.ndarray:
             for y in range(size):
                 coords.append((y, x))
     return np.array(coords, dtype=np.int32)
+
+
+@functools.lru_cache(maxsize=None)
+def tb_scan(scan_idx: int, log2_size: int) -> np.ndarray:
+    """Composed transform-block scan: 4x4 coefficient groups traversed in
+    the scan order, each group scanned internally the same way (H.265
+    6.5.3 / 7.3.8.11). [n*n, 2] of (y, x)."""
+    n = 1 << log2_size
+    if n == 4:
+        return scan_order(scan_idx, 4)
+    cgs = scan_order(scan_idx, n // 4)
+    sub = scan_order(scan_idx, 4)
+    out = (cgs[:, None, :] * 4 + sub[None, :, :]).reshape(-1, 2)
+    return np.ascontiguousarray(out)
 
 
 def coef_scan_idx(intra_mode: int, log2_size: int, is_luma: bool) -> int:
