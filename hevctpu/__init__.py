@@ -9,3 +9,28 @@ wavefronts, and only the final CABAC write is serial (host/native).
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+
+def _enable_compilation_cache():
+    """Persistent XLA compilation cache: the encoder jits one program per
+    (geometry, QP) and TPU compiles are expensive (minutes through a remote
+    tunnel), so cache them across processes. Opt out with
+    HEVCTPU_NO_COMPILE_CACHE=1."""
+    if _os.environ.get("HEVCTPU_NO_COMPILE_CACHE"):
+        return
+    try:
+        import jax
+
+        path = _os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR",
+            _os.path.join(_os.path.expanduser("~"), ".cache", "hevctpu-xla"))
+        _os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
+
+_enable_compilation_cache()

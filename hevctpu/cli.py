@@ -1,0 +1,186 @@
+"""Command-line interface: encode / decode / bdrate.
+
+Equivalent of the reference's app shell (TAppEncoder encmain.cpp:60 +
+TAppEncCfg + gen_frames/use_model orchestration, and TAppDecoder) — but the
+CNN depth prediction is fused on-device into the encode call instead of the
+reference's ffmpeg-JPEG + txt-file polling handshake (encmain.cpp:105-108,
+TEncCu.cpp:243-255).
+
+  python -m hevctpu encode -i in.yuv --width 416 --height 240 -f 6 -q 32 \
+      -b out.bin [--recon rec.yuv] [-c sequence.cfg] [--model weights.pt]
+  python -m hevctpu decode -b out.bin -o dec.yuv
+  python -m hevctpu bdrate anchor.csv test.csv
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+DEFAULT_MODEL = "/root/reference/rec/hevc_encoder_model.pt"
+
+
+def _add_encode(sub):
+    p = sub.add_parser("encode", help="All-Intra encode a YUV420 8-bit file")
+    p.add_argument("-c", "--cfg", help="HM-style sequence cfg (bitstream.cfg)")
+    p.add_argument("-i", "--input")
+    p.add_argument("--width", type=int)
+    p.add_argument("--height", type=int)
+    p.add_argument("-f", "--frames", type=int, default=0)
+    p.add_argument("-q", "--qp", type=int, default=32)
+    p.add_argument("-b", "--bitstream", required=True)
+    p.add_argument("--recon", help="write reconstruction YUV")
+    p.add_argument("--fps", type=float, default=30.0)
+    p.add_argument("--model", default=DEFAULT_MODEL,
+                   help="ConvNet2 torch checkpoint for CU-depth pruning")
+    p.add_argument("--fixed-depth", type=int, choices=[0, 1, 2, 3],
+                   help="bypass the CNN, use a fixed CU depth")
+    p.add_argument("--batch", type=int, default=4,
+                   help="frames encoded per device step")
+
+
+def _add_decode(sub):
+    p = sub.add_parser("decode", help="decode an Annex-B stream to YUV")
+    p.add_argument("-b", "--bitstream", required=True)
+    p.add_argument("-o", "--output", required=True)
+
+
+def _add_bdrate(sub):
+    p = sub.add_parser("bdrate", help="BD-rate/BD-PSNR from two csv files "
+                       "with lines: bitrate_kbps,psnr_db")
+    p.add_argument("anchor")
+    p.add_argument("test")
+
+
+def cmd_encode(args) -> int:
+    from hevctpu.codec import decoder as streamlib
+    from hevctpu.codec import headers
+    from hevctpu.pipeline import metrics, yuv
+    from hevctpu.pipeline.encoder import FrameEncoder
+
+    if args.cfg:
+        seq = yuv.sequence_from_cfg(args.cfg)
+        if args.input:
+            seq.path = args.input
+        if args.frames:
+            seq.frames = args.frames
+    else:
+        if not (args.input and args.width and args.height):
+            print("need -c cfg or -i/--width/--height", file=sys.stderr)
+            return 2
+        seq = yuv.Sequence(args.input, args.width, args.height, args.fps,
+                           args.frames)
+
+    y, u, v = yuv.read_yuv420(seq.path, seq.width, seq.height, seq.frames)
+    n = y.shape[0]
+    print(f"hevctpu encode: {seq.path} {seq.width}x{seq.height} "
+          f"{n} frames QP {args.qp}")
+
+    t0 = time.time()
+    rc, cc = -(-seq.height // 64), -(-seq.width // 64)
+    if args.fixed_depth is not None:
+        labels = np.full((n, rc * cc, 16), args.fixed_depth, np.int32)
+        t_cnn = 0.0
+    else:
+        from hevctpu.models import convnet2
+        params = convnet2.load_torch_params(args.model)
+        labels = np.stack([
+            np.asarray(convnet2.predict_frame_labels(
+                params, y[i].astype(np.int32), u[i].astype(np.int32),
+                v[i].astype(np.int32), seq.height, seq.width))
+            for i in range(n)])
+        t_cnn = time.time() - t0
+
+    enc = FrameEncoder(seq.height, seq.width, args.qp)
+    frames_out = []
+    bsz = max(args.batch, 1)
+    for i in range(0, n, bsz):
+        j = min(i + bsz, n)
+        frames_out.append(enc.encode(y[i:j], u[i:j], v[i:j], labels[i:j]))
+    t_enc = time.time() - t0
+
+    cfg = headers.StreamConfig(width=seq.width, height=seq.height, qp=args.qp)
+    stream = streamlib.encode_stream(cfg, frames_out)
+    with open(args.bitstream, "wb") as f:
+        f.write(stream)
+    t_total = time.time() - t0
+
+    # per-frame log + summary, reference-style (TEncGOP.cpp:2268)
+    tot_bits = len(stream) * 8
+    psnrs = []
+    k = 0
+    ry_all, ru_all, rv_all = [], [], []
+    for fr in frames_out:
+        for b in range(fr["recon_y"].shape[0]):
+            py, pu, pv = metrics.frame_psnrs(
+                y[k], u[k], v[k], fr["recon_y"][b], fr["recon_u"][b],
+                fr["recon_v"][b])
+            print(f"POC {k:4d} ( I-SLICE, QP {args.qp} ) "
+                  f"[Y {py:7.4f} dB  U {pu:7.4f} dB  V {pv:7.4f} dB]")
+            psnrs.append((py, pu, pv))
+            ry_all.append(fr["recon_y"][b])
+            ru_all.append(fr["recon_u"][b])
+            rv_all.append(fr["recon_v"][b])
+            k += 1
+    avg = np.mean(psnrs, axis=0)
+    print(metrics.summary_line(n, tot_bits, seq.fps, *avg))
+    print(f"Bytes written to file: {len(stream)}")
+    print(f"Total Time: {t_total:9.3f} sec. "
+          f"(CNN {t_cnn:.3f}s, encode {t_enc - t_cnn:.3f}s, "
+          f"entropy {t_total - t_enc:.3f}s)")
+
+    if args.recon:
+        yuv.write_yuv420(args.recon, np.stack(ry_all), np.stack(ru_all),
+                         np.stack(rv_all))
+    return 0
+
+
+def cmd_decode(args) -> int:
+    from hevctpu.codec.decoder import Decoder
+    from hevctpu.pipeline import yuv
+
+    with open(args.bitstream, "rb") as f:
+        stream = f.read()
+    t0 = time.time()
+    frames = Decoder().decode(stream)
+    ys = np.stack([f[0] for f in frames])
+    us = np.stack([f[1] for f in frames])
+    vs = np.stack([f[2] for f in frames])
+    yuv.write_yuv420(args.output, ys, us, vs)
+    print(f"decoded {len(frames)} frames -> {args.output} "
+          f"({time.time() - t0:.3f}s)")
+    return 0
+
+
+def cmd_bdrate(args) -> int:
+    from hevctpu.pipeline import metrics
+
+    def load(path):
+        rows = [line.split(",") for line in open(path)
+                if line.strip() and not line.startswith("#")]
+        return ([float(r[0]) for r in rows], [float(r[1]) for r in rows])
+
+    ra, pa = load(args.anchor)
+    rt, pt = load(args.test)
+    print(f"BD-rate: {metrics.bd_rate(ra, pa, rt, pt):+.3f} %")
+    print(f"BD-PSNR: {metrics.bd_psnr(ra, pa, rt, pt):+.3f} dB")
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="hevctpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    _add_encode(sub)
+    _add_decode(sub)
+    _add_bdrate(sub)
+    args = ap.parse_args(argv)
+    return {"encode": cmd_encode, "decode": cmd_decode,
+            "bdrate": cmd_bdrate}[args.cmd](args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

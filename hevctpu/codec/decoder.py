@@ -1,0 +1,82 @@
+"""Verification decoder: Annex-B stream -> parsed syntax -> reconstruction.
+
+Equivalent in role to the reference's TLibDecoder/TAppDecoder
+(TDecTop.cpp:804, TDecCu.cpp:142-359): proves the encoder's bitstreams are
+self-consistent by independently parsing the CABAC slice data and
+reconstructing every TU in decode order, then comparing against the
+encoder-side reconstruction (the decoded-picture-hash discipline,
+TEncGOP.cpp:1948). Reconstruction uses the pure-numpy scalar spec
+implementation (codec/refimpl.py) — a fully independent path from the JAX
+encoder kernels, and free of per-TU device dispatch.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from hevctpu import rom
+from hevctpu.codec import bitio, headers, refimpl
+from hevctpu.codec.syntax import SliceDecoder
+
+
+class Decoder:
+    """Decode a full Annex-B stream produced by this codec."""
+
+    def __init__(self):
+        self.sps = None
+        self.pps = None
+        self.frames = []  # (recon_y, recon_u, recon_v)
+
+    def decode(self, stream: bytes):
+        for nal_type, _tid, rbsp in bitio.split_annexb(stream):
+            if nal_type == headers.NAL_SPS:
+                self.sps = headers.parse_sps(rbsp)
+            elif nal_type == headers.NAL_PPS:
+                self.pps = headers.parse_pps(rbsp)
+            elif nal_type == headers.NAL_VPS:
+                continue
+            elif nal_type == headers.NAL_IDR_W_RADL:
+                self._decode_slice(rbsp, nal_type)
+            else:
+                raise NotImplementedError(f"NAL type {nal_type}")
+        return self.frames
+
+    def _decode_slice(self, rbsp: bytes, nal_type: int):
+        sh = headers.parse_slice_header(rbsp, self.sps, self.pps, nal_type)
+        w, h = self.sps["width"], self.sps["height"]
+        cfg = headers.StreamConfig(
+            width=w, height=h, qp=sh["qp"],
+            strong_intra_smoothing=self.sps["strong_intra_smoothing"])
+        sd = SliceDecoder(cfg, rbsp, sh["data_offset"]).decode()
+
+        hp, wp = sd.rc * 64, sd.cc * 64
+        planes = {0: np.zeros((hp, wp), np.int32),
+                  1: np.zeros((hp // 2, wp // 2), np.int32),
+                  2: np.zeros((hp // 2, wp // 2), np.int32)}
+        qp_c = rom.chroma_qp_from_luma(sh["qp"])
+        for (x0, y0, log2, comp, mode, cbf) in sd.tu_list:
+            is_luma = comp == 0
+            refimpl.recon_tu(
+                planes[comp], sd.levels[comp], y0, x0, log2, mode, cbf,
+                sh["qp"] if is_luma else qp_c, is_luma,
+                h if is_luma else h // 2, w if is_luma else w // 2,
+                span=64 if is_luma else 32,
+                strong_smoothing=cfg.strong_intra_smoothing)
+        self.frames.append((planes[0][:h, :w], planes[1][:h // 2, :w // 2],
+                            planes[2][:h // 2, :w // 2]))
+
+
+def encode_stream(cfg: headers.StreamConfig, frames: list[dict]) -> bytes:
+    """Assemble a full Annex-B stream: VPS/SPS/PPS + one IDR per frame."""
+    from hevctpu.codec.syntax import SliceEncoder
+
+    out = bytearray()
+    out += bitio.nal_unit(headers.NAL_VPS, headers.write_vps(cfg))
+    out += bitio.nal_unit(headers.NAL_SPS, headers.write_sps(cfg))
+    out += bitio.nal_unit(headers.NAL_PPS, headers.write_pps(cfg))
+    for fr in frames:
+        b = fr["depth8"].shape[0]
+        for i in range(b):
+            rbsp = SliceEncoder(cfg, fr, i).encode()
+            out += bitio.nal_unit(headers.NAL_IDR_W_RADL, rbsp)
+    return bytes(out)

@@ -84,6 +84,18 @@ def _sig_ctx(x: int, y: int, log2: int, scan_idx: int, is_luma: bool,
     return s
 
 
+def _prev_csbf(csbf, cgs, cy, cx, n):
+    """right + 2*below coded_sub_block_flag pattern of a CG at (cy, cx)."""
+    ncg = max(n // 4, 1)
+    right = below = 0
+    for k in range(len(cgs)):
+        if cx + 1 < ncg and cgs[k, 0] == cy and cgs[k, 1] == cx + 1:
+            right = int(csbf[k])
+        if cy + 1 < ncg and cgs[k, 0] == cy + 1 and cgs[k, 1] == cx:
+            below = int(csbf[k])
+    return right + 2 * below
+
+
 class _Walker:
     """Shared quadtree traversal driving either the encoder or decoder."""
 
@@ -242,12 +254,8 @@ class SliceEncoder(_Walker):
             if csbf_coded:
                 self.c.encode_bin(self.ctx(name_cs, min(prev_csbf, 1)),
                                   int(csbf[cg]))
-            cur_csbf = bool(csbf[cg]) or cg == last_cg or cg == 0
-            if not cur_csbf or not csbf[cg] and cg != last_cg and cg != 0:
-                if csbf_coded and not csbf[cg]:
-                    continue
-            if not csbf[cg] and csbf_coded:
-                continue
+            if csbf_coded and not csbf[cg]:
+                continue  # explicitly signaled all-zero group
 
             lo = 16 * cg
             infer_dc = csbf_coded  # inferSbDcSigCoeffFlag init (7.3.8.11)
@@ -290,21 +298,23 @@ class SliceEncoder(_Walker):
             for k, i in enumerate(sig_rev):
                 v = abs(int(coeffs[i]))
                 if k < 8:
-                    base = (3 if i == first_g1 else 2) if gt1_flags[i] else 1
                     if not gt1_flags[i]:
-                        base = 2  # v == 1 here, no remaining follows
+                        continue  # v == 1, fully coded by the flags
+                    if i == first_g1 and v == 2:
+                        continue  # gt2 == 0 closed it
+                    base = 3 if i == first_g1 else 2
                 else:
                     base = 1
-                if v >= base:
-                    self._code_remaining(v - base, rice)
-                    if v > (3 << rice):
-                        rice = min(rice + 1, 4)
+                self._code_remaining(v - base, rice)
+                if v > (3 << rice):
+                    rice = min(rice + 1, 4)
 
     def _code_last(self, lx, ly, log2, is_luma):
-        name = "last_sig_xy_luma" if is_luma else "last_sig_xy_chroma"
+        suffix_l = "luma" if is_luma else "chroma"
         offset, shift = _last_ctx(0, log2, is_luma)
         gmax = (log2 << 1) - 1
-        for val in (lx, ly):
+        for axis, val in (("x", lx), ("y", ly)):
+            name = f"last_sig_{axis}_{suffix_l}"
             prefix = self._last_prefix(val)
             for b in range(min(prefix, gmax)):
                 self.c.encode_bin(self.ctx(name, offset + (b >> shift)), 1)
@@ -319,11 +329,11 @@ class SliceEncoder(_Walker):
 
     @staticmethod
     def _last_prefix(val):
+        """last_sig_coeff prefix (group index) for a coordinate value."""
         if val <= 3:
             return val
-        nbits = max(val.bit_length() - 2, 1)
-        return ((val >> nbits) - 2 + 1) + (nbits << 1) if False else \
-            2 * nbits + ((val >> nbits) & 1) + 2
+        k = val.bit_length() - 1
+        return 2 * k + (1 if val >= (3 << (k - 1)) else 0)
 
     def _code_remaining(self, v, c):
         q = v >> c
@@ -339,3 +349,245 @@ class SliceEncoder(_Walker):
                 k += 1
             self.c.encode_bypass_bins((1 << (4 + k - c)) - 2, 4 + k - c)
             self.c.encode_bypass_bins(v2, k)
+
+
+class SliceDecoder(_Walker):
+    """Parses one slice's CABAC data back into decision arrays.
+
+    Mirror of SliceEncoder — used by the verification decoder to prove the
+    bitstream is self-consistent (and by tests against HM-class decoders).
+    """
+
+    def __init__(self, cfg, rbsp: bytes, data_offset: int):
+        super().__init__(cfg)
+        self.rbsp = rbsp
+        self.offset = data_offset
+        h8, w8 = self.rc * 8, self.cc * 8
+        self.depth8 = np.zeros((h8, w8), np.int32)
+        self.coded8 = np.zeros((h8, w8), bool)
+        self.mode8 = np.full((h8, w8), -1, np.int32)
+        self.cbf = {0: np.zeros((h8, w8), bool), 1: np.zeros((h8, w8), bool),
+                    2: np.zeros((h8, w8), bool)}
+        self.levels = {0: np.zeros((self.rc * 64, self.cc * 64), np.int32),
+                       1: np.zeros((self.rc * 32, self.cc * 32), np.int32),
+                       2: np.zeros((self.rc * 32, self.cc * 32), np.int32)}
+        self.tu_list = []  # (x0, y0, log2, comp, mode, cbf) in decode order
+
+    def decode(self):
+        self.ctx = ContextSet(self.cfg.qp, init_type=0)
+        self.c = CabacDecoder(self.rbsp, self.offset)
+        n_ctu = self.rc * self.cc
+        for a in range(n_ctu):
+            r, c = divmod(a, self.cc)
+            self._quadtree(64 * c, 64 * r, 6)
+            end = self.c.decode_terminate()
+            assert end == (1 if a == n_ctu - 1 else 0), (a, end)
+        return self
+
+    def _quadtree(self, x0, y0, log2):
+        if x0 >= self.w or y0 >= self.h:
+            return
+        size = 1 << log2
+        d = 6 - log2
+        inside = x0 + size <= self.w and y0 + size <= self.h
+        if inside and log2 > 3:
+            ctx = 0
+            if x0 > 0 and self.depth8[y0 // 8, (x0 - 1) // 8] > d:
+                ctx += 1
+            if y0 > 0 and self.depth8[(y0 - 1) // 8, x0 // 8] > d:
+                ctx += 1
+            split = bool(self.c.decode_bin(self.ctx("split_cu_flag", ctx)))
+        elif not inside:
+            split = log2 > 3
+        else:
+            split = False
+        if split:
+            h = size // 2
+            for dy, dx in ((0, 0), (0, h), (h, 0), (h, h)):
+                self._quadtree(x0 + dx, y0 + dy, log2 - 1)
+        else:
+            s = size // 8
+            self.depth8[y0 // 8: y0 // 8 + s, x0 // 8: x0 // 8 + s] = d
+            self.coded8[y0 // 8: y0 // 8 + s, x0 // 8: x0 // 8 + s] = True
+            self._coding_unit(x0, y0, log2)
+
+    def _coding_unit(self, x0, y0, log2):
+        if log2 == 3:
+            part = self.c.decode_bin(self.ctx("part_mode", 0))
+            assert part == 1, "NxN not supported by this decoder yet"
+        mpm = derive_mpm(self.mode8, x0, y0)
+        if self.c.decode_bin(self.ctx("prev_intra_luma_pred", 0)):
+            idx = self.c.decode_bypass()
+            if idx:
+                idx += self.c.decode_bypass()
+            mode = mpm[idx]
+        else:
+            rem = self.c.decode_bypass_bins(5)
+            mode = rem
+            for m in sorted(mpm):
+                if mode >= m:
+                    mode += 1
+        s = 1 << (log2 - 3)
+        self.mode8[y0 // 8: y0 // 8 + s, x0 // 8: x0 // 8 + s] = mode
+        dm = self.c.decode_bin(self.ctx("intra_chroma_pred_mode", 0))
+        assert dm == 0, "only derived chroma mode supported"
+        self._transform_tree(x0, y0, log2, log2, 0, True, True, mode)
+
+    def _transform_tree(self, x0, y0, log2, cu_log2, depth, pcb, pcr, mode):
+        split = log2 > 5
+        code_chroma = log2 > 2
+        cb = cr = False
+        if code_chroma:
+            if pcb:
+                cb = bool(self.c.decode_bin(self.ctx("cbf_chroma", depth)))
+            if pcr:
+                cr = bool(self.c.decode_bin(self.ctx("cbf_chroma", depth)))
+        if split:
+            h = 1 << (log2 - 1)
+            for dy, dx in ((0, 0), (0, h), (h, 0), (h, h)):
+                self._transform_tree(x0 + dx, y0 + dy, log2 - 1, cu_log2,
+                                     depth + 1, cb, cr, mode)
+            return
+        cbf_l = bool(self.c.decode_bin(
+            self.ctx("cbf_luma", 1 if depth == 0 else 0)))
+        self.cbf[0][y0 // 8, x0 // 8] = cbf_l
+        self.cbf[1][y0 // 8, x0 // 8] = cb
+        self.cbf[2][y0 // 8, x0 // 8] = cr
+        if cbf_l:
+            self._residual(x0, y0, log2, 0, mode)
+        self.tu_list.append((x0, y0, log2, 0, mode, cbf_l))
+        if code_chroma:
+            if cb:
+                self._residual(x0 // 2, y0 // 2, log2 - 1, 1, mode)
+            self.tu_list.append((x0 // 2, y0 // 2, log2 - 1, 1, mode, cb))
+            if cr:
+                self._residual(x0 // 2, y0 // 2, log2 - 1, 2, mode)
+            self.tu_list.append((x0 // 2, y0 // 2, log2 - 1, 2, mode, cr))
+
+    def _residual(self, x0, y0, log2, comp, mode):
+        n = 1 << log2
+        is_luma = comp == 0
+        scan_idx = rom.coef_scan_idx(mode, log2, is_luma)
+        scan = rom.tb_scan(scan_idx, log2)
+        coeffs = np.zeros(n * n, np.int32)
+
+        lx = self._decode_last(log2, is_luma, "x")
+        ly = self._decode_last(log2, is_luma, "y")
+        lx = self._last_suffix(lx)
+        ly = self._last_suffix(ly)
+        if scan_idx == rom.SCAN_VER:
+            lx, ly = ly, lx
+        # scan position of the last coefficient
+        pos_of = {(int(scan[i, 0]), int(scan[i, 1])): i for i in range(n * n)}
+        last = pos_of[(ly, lx)]
+
+        num_cg = max(n * n // 16, 1)
+        last_cg = last >> 4
+        csbf = np.zeros(num_cg, bool)
+        csbf[last_cg] = True
+        csbf[0] = True
+        cgs = rom.scan_order(scan_idx, max(n // 4, 1))
+        name_cs = "coded_sub_block_luma" if is_luma else "coded_sub_block_chroma"
+        name_sig = "sig_coeff_luma" if is_luma else "sig_coeff_chroma"
+        name_g1 = "coeff_abs_gt1_luma" if is_luma else "coeff_abs_gt1_chroma"
+        name_g2 = "coeff_abs_gt2_luma" if is_luma else "coeff_abs_gt2_chroma"
+        gt1_carry = 1
+
+        for cg in range(last_cg, -1, -1):
+            cy, cx = int(cgs[cg, 0]), int(cgs[cg, 1])
+            prev_csbf = _prev_csbf(csbf, cgs, cy, cx, n)
+            csbf_coded = 0 < cg < last_cg
+            if csbf_coded:
+                csbf[cg] = bool(self.c.decode_bin(
+                    self.ctx(name_cs, min(prev_csbf, 1))))
+            if not csbf[cg]:
+                continue
+            lo = 16 * cg
+            infer_dc = csbf_coded  # inferSbDcSigCoeffFlag (7.3.8.11)
+            sig = np.zeros(16, bool)
+            if cg == last_cg:
+                sig[last - lo] = True
+                start = last - 1
+            else:
+                start = lo + 15
+            for i in range(start, lo - 1, -1):
+                if i == lo and infer_dc and not sig[1:].any():
+                    sig[0] = True  # inferred
+                    break
+                yy, xx = int(scan[i, 0]), int(scan[i, 1])
+                ctx = _sig_ctx(xx, yy, log2, scan_idx, is_luma, prev_csbf)
+                sig[i - lo] = bool(self.c.decode_bin(self.ctx(name_sig, ctx)))
+            sig_rev = [lo + k for k in range(15, -1, -1) if sig[k]]
+            if not sig_rev:
+                continue
+            ctx_set = 0 if (cg == 0 or not is_luma) else 2
+            if gt1_carry == 0:
+                ctx_set += 1
+            g1ctx = 1
+            gt1_flags = {}
+            for i in sig_rev[:8]:
+                flag = self.c.decode_bin(
+                    self.ctx(name_g1, ctx_set * 4 + min(g1ctx, 3)))
+                gt1_flags[i] = flag
+                if flag:
+                    g1ctx = 0
+                elif 0 < g1ctx < 3:
+                    g1ctx += 1
+            gt1_carry = g1ctx
+            first_g1 = next((i for i in sig_rev[:8] if gt1_flags[i]), None)
+            gt2 = 0
+            if first_g1 is not None:
+                gt2 = self.c.decode_bin(self.ctx(name_g2, ctx_set))
+            signs = [self.c.decode_bypass() for _ in sig_rev]
+            rice = 0
+            for k, i in enumerate(sig_rev):
+                if k < 8 and not gt1_flags[i]:
+                    v = 1
+                elif k < 8 and i == first_g1 and not gt2:
+                    v = 2
+                else:
+                    base = 1 if k >= 8 else (3 if i == first_g1 else 2)
+                    v = base + self._decode_remaining(rice)
+                    if v > (3 << rice):
+                        rice = min(rice + 1, 4)
+                coeffs[i] = -v if signs[k] else v
+        blk = coeffs  # scan-order vector -> block
+        out = self.levels[comp]
+        for i in range(n * n):
+            out[y0 + int(scan[i, 0]), x0 + int(scan[i, 1])] = blk[i]
+
+    def _decode_last(self, log2, is_luma, axis):
+        name = f"last_sig_{axis}_{'luma' if is_luma else 'chroma'}"
+        offset, shift = _last_ctx(0, log2, is_luma)
+        gmax = (log2 << 1) - 1
+        prefix = 0
+        while prefix < gmax and self.c.decode_bin(
+                self.ctx(name, offset + (prefix >> shift))):
+            prefix += 1
+        return prefix
+
+    def _last_suffix(self, prefix):
+        if prefix <= 3:
+            return prefix
+        nbits = (prefix >> 1) - 1
+        suffix = self.c.decode_bypass_bins(nbits)
+        return ((2 + (prefix & 1)) << nbits) + suffix
+
+    def _decode_remaining(self, c):
+        prefix = 0
+        while prefix < 4 and self.c.decode_bypass():
+            prefix += 1
+        if prefix < 4:
+            v = (prefix << c) + (self.c.decode_bypass_bins(c) if c else 0)
+        else:
+            k = c + 1
+            while self.c.decode_bypass():
+                k += 1
+            base = 4 << c
+            kk = c + 1
+            add = 0
+            while kk < k:
+                add += 1 << kk
+                kk += 1
+            v = base + add + self.c.decode_bypass_bins(k)
+        return v

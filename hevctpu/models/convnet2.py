@@ -76,6 +76,26 @@ def load_torch_params(pt_path: str) -> dict:
     return params
 
 
+def init_params(seed: int = 0) -> dict:
+    """Random parameters with the checkpoint's shapes (He-scaled), for tests,
+    dry runs and training from scratch — same pytree as load_torch_params."""
+    rng = np.random.default_rng(seed)
+
+    def conv(kh, kw, ci, co):
+        std = float(np.sqrt(2.0 / (kh * kw * ci)))
+        return {"w": rng.normal(0, std, (kh, kw, ci, co)).astype(np.float32),
+                "b": np.zeros(co, np.float32)}
+
+    def lin(ci, co):
+        std = float(np.sqrt(2.0 / ci))
+        return {"w": rng.normal(0, std, (ci, co)).astype(np.float32),
+                "b": np.zeros(co, np.float32)}
+
+    return {"conv1": conv(5, 5, 3, 16), "conv64": conv(5, 5, 3, 16),
+            "conv2": conv(3, 3, 32, 64), "conv3": conv(3, 3, 64, 128),
+            "fc1": lin(2048, 256), "fc2": lin(256, 64), "fc3": lin(64, 16)}
+
+
 def _conv(x, p, stride=1):
     out = jax.lax.conv_general_dilated(
         x, jnp.asarray(p["w"]), (stride, stride), "SAME",

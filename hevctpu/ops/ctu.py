@@ -62,7 +62,8 @@ def derive_slot_depths(labels: jnp.ndarray, bh: jnp.ndarray, bw: jnp.ndarray):
     d_bnd = jnp.where(cross16, 3, d_bnd)
 
     coded = (sy * 8 < bh) & (sx * 8 < bw)
-    return jnp.maximum(d_lab, d_bnd), coded
+    depth = jnp.maximum(d_lab, d_bnd)
+    return depth, jnp.broadcast_to(coded, depth.shape)
 
 
 # ---------------------------------------------------------------------------

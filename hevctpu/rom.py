@@ -299,11 +299,14 @@ CTX_INIT = {
     "cbf_chroma": [[94, 138, 182, 154, 154],
                    [149, 107, 167, 154, 154],
                    [149, 92, 167, 154, 154]],
-    "last_sig_xy_luma": [
+    # X and Y prefixes use separate context arrays with identical init
+    # values (reference: TEncSbac m_cuCtxLastX/m_cuCtxLastY both init'd
+    # from INIT_LAST).
+    "last_sig_x_luma": [
         [110, 110, 124, 125, 140, 153, 125, 127, 140, 109, 111, 143, 127, 111, 79],
         [125, 110, 94, 110, 95, 79, 125, 111, 110, 78, 110, 111, 111, 95, 94],
         [125, 110, 124, 110, 95, 94, 125, 111, 111, 79, 125, 126, 111, 111, 79]],
-    "last_sig_xy_chroma": [
+    "last_sig_x_chroma": [
         [108, 123, 63] + [CNU] * 12,
         [108, 123, 108] + [CNU] * 12,
         [108, 123, 93] + [CNU] * 12],
@@ -345,6 +348,9 @@ CTX_INIT = {
     "sao_type_idx": [[200], [185], [160]],
     "cu_qp_delta_abs": [[154, 154, 154], [154, 154, 154], [154, 154, 154]],
 }
+
+CTX_INIT["last_sig_y_luma"] = CTX_INIT["last_sig_x_luma"]
+CTX_INIT["last_sig_y_chroma"] = CTX_INIT["last_sig_x_chroma"]
 
 # Significance-map context maps (H.265 9.3.4.2.5). ctxIdxMap for 4x4 blocks,
 # indexed by 4*y + x (the spec's Figure/Table for sigCtx of 4x4 TBs).
