@@ -132,8 +132,8 @@ class SliceEncoder(_Walker):
             r, c = divmod(a, self.cc)
             self._quadtree(64 * c, 64 * r, 6)
             self.c.encode_terminate(1 if a == n_ctu - 1 else 0)
-        # terminate(1) already flushed the engine; rbsp stop bit:
-        bw.u(1, 1)
+        # terminate(1) flushed the engine, and the flush's final written bit
+        # is the rbsp_stop_one_bit (9.3.4.3.5 note); only zero-align remains.
         bw.align_zero()
         return bw.data()
 
