@@ -66,10 +66,19 @@ class Decoder:
                             planes[2][:h // 2, :w // 2]))
 
 
-def encode_stream(cfg: headers.StreamConfig, frames: list[dict]) -> bytes:
-    """Assemble a full Annex-B stream: VPS/SPS/PPS + one IDR per frame."""
+def encode_stream(cfg: headers.StreamConfig, frames: list[dict],
+                  use_native: bool | None = None) -> bytes:
+    """Assemble a full Annex-B stream: VPS/SPS/PPS + one IDR per frame.
+
+    The slice-data CABAC pass runs in the native C++ coder when available
+    (hevctpu/native — byte-identical to codec/syntax.py, ~100x faster);
+    pass use_native=False to force the Python golden path.
+    """
+    from hevctpu import native
     from hevctpu.codec.syntax import SliceEncoder
 
+    if use_native is None:
+        use_native = native.available()
     out = bytearray()
     out += bitio.nal_unit(headers.NAL_VPS, headers.write_vps(cfg))
     out += bitio.nal_unit(headers.NAL_SPS, headers.write_sps(cfg))
@@ -77,6 +86,11 @@ def encode_stream(cfg: headers.StreamConfig, frames: list[dict]) -> bytes:
     for fr in frames:
         b = fr["depth8"].shape[0]
         for i in range(b):
-            rbsp = SliceEncoder(cfg, fr, i).encode()
+            if use_native:
+                rbsp = headers.write_slice_header(cfg).data()
+                rbsp += native.encode_slice_data(
+                    cfg.width, cfg.height, cfg.qp, fr, i)
+            else:
+                rbsp = SliceEncoder(cfg, fr, i).encode()
             out += bitio.nal_unit(headers.NAL_IDR_W_RADL, rbsp)
     return bytes(out)
