@@ -18,7 +18,7 @@ import numpy as np
 
 H, W, QP = 240, 416, 32
 FRAMES = 8
-BATCH = 2
+BATCH = 8
 
 # HM 16.20 TAppEncoder, All-Intra main, 416x240, single CPU thread: ~1.3 fps
 # (typical for this class on a modern core; replaced by a measured number in
@@ -57,13 +57,14 @@ def main():
     cfg = headers.StreamConfig(width=W, height=H, qp=QP)
 
     def run(i, j):
-        labels = np.stack([
-            np.asarray(convnet2.predict_frame_labels(
-                params, y[k], u[k], v[k], H, W)) for k in range(i, j)])
+        labels = np.asarray(convnet2.predict_batch_labels(
+            params, y[i:j], u[i:j], v[i:j], H, W))
         out = enc.encode(y[i:j], u[i:j], v[i:j], labels)
         return streamlib.encode_stream(cfg, [out])
 
-    run(0, 1)  # warmup: compiles CNN + encoder
+    # Warmup compiles every batch shape the measured loop will use.
+    for i in range(0, FRAMES, BATCH):
+        run(i, min(i + BATCH, FRAMES))
 
     t0 = time.time()
     total_bytes = 0

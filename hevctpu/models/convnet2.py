@@ -209,3 +209,14 @@ def predict_frame_labels(params, y, u, v, h: int, w: int) -> jnp.ndarray:
     logits = forward(params, x32, x64_rep)               # [nCTU*4, 16]
     digits = logits_to_labels(logits)                    # [nCTU*4, 4]
     return assemble_ctu_labels(digits.reshape(n_ctu, 4, 4))
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5))
+def predict_batch_labels(params, y, u, v, h: int, w: int) -> jnp.ndarray:
+    """Batched predictor: YUV planes [B, ...] -> [B, nCTU, 16] labels.
+
+    One device program for the whole frame batch — the reference runs the
+    CNN per-CTU at batch size 1 on a detached thread (use_model.py:85-101);
+    here every (frame, CTU, quadrant) is one fused batch."""
+    fn = lambda yy, uu, vv: predict_frame_labels(params, yy, uu, vv, h, w)
+    return jax.vmap(fn)(y, u, v)
