@@ -33,7 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from hevctpu import rom
-from hevctpu.ops import cost, ctu, intra, quant, transforms
+from hevctpu.ops import cost, ctu, intra, intra_mm, quant, transforms
 
 # ---------------------------------------------------------------------------
 # Geometry
@@ -110,32 +110,83 @@ def from_blocked(b: jnp.ndarray) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def _dense_mode_decision(plane: jnp.ndarray, geom: Geometry, n: int):
-    """Best SATD mode for every n x n CU position. plane [B, hp, wp] (luma).
-    Returns modes [B, R, C] int32."""
-    hp, wp = geom.hp, geom.wp
-    r_n, c_n = hp // n, wp // n
-    gy, gx = np.meshgrid(np.arange(0, hp, n), np.arange(0, wp, n),
+@functools.lru_cache(maxsize=None)
+def _grid_avail(geom: Geometry, n: int) -> np.ndarray:
+    """Static availability mask [R, C, 4n+1] for every aligned n x n block."""
+    gy, gx = np.meshgrid(np.arange(0, geom.hp, n), np.arange(0, geom.wp, n),
                          indexing="ij")
     gy, gx = gy.ravel(), gx.ravel()
-    dy, dx = ctu.boundary_offsets(n)
-    yy = np.clip(gy[:, None] + dy[None, :], 0, hp - 1)
-    xx = np.clip(gx[:, None] + dx[None, :], 0, wp - 1)
-
     z16 = ctu.morton(16)
-    av = ctu.boundary_available(
-        gy % 64, gx % 64, n, z16[(gy % 64) // 4, (gx % 64) // 4],
-        (gy // 64) * 64, (gx // 64) * 64, geom.h, geom.w, scale=1)
+    with jax.ensure_compile_time_eval():
+        av = np.asarray(ctu.boundary_available(
+            gy % 64, gx % 64, n, z16[(gy % 64) // 4, (gx % 64) // 4],
+            (gy // 64) * 64, (gx // 64) * 64, geom.h, geom.w, scale=1))
+    return av.reshape(geom.hp // n, geom.wp // n, 4 * n + 1)
 
-    vals = plane[:, jnp.asarray(yy), jnp.asarray(xx)]        # [B, RC, L]
-    filled = intra.fill_reference(vals, jnp.broadcast_to(av, vals.shape))
-    top_e, left_e = intra.split_boundary(filled, n)
-    top_f, left_f = intra.smooth_reference(top_e, left_e, n)
-    preds = intra.predict_all_modes(top_e, left_e, top_f, left_f, n)
-    blocks = to_blocked(plane, n).reshape(plane.shape[0], r_n * c_n, 1, n, n)
-    costs = cost.satd(preds, blocks)                          # [B, RC, 35]
-    modes = jnp.argmin(costs, axis=-1).astype(jnp.int32)
-    return modes.reshape(plane.shape[0], r_n, c_n)
+
+def _dense_costs(plane: jnp.ndarray, geom: Geometry, n: int) -> jnp.ndarray:
+    """SATD cost of all 35 modes for every aligned n x n position.
+
+    plane [B, hp, wp] (luma). Returns [B, R, C, 35] int32. One MXU matmul
+    per row-chunk predicts all modes of all positions (intra_mm); rows are
+    chunked with lax.map so the [*, 35, n, n] intermediate stays bounded.
+    """
+    b, hp, wp = plane.shape
+    r_n, c_n = hp // n, wp // n
+    bounds = intra_mm.grid_boundaries(plane, n)               # [B,R,C,4n+1]
+    av = _grid_avail(geom, n)
+    blocks = to_blocked(plane, n)                             # [B,R,C,n,n]
+
+    # Chunk rows: keep the [B, rows, C, 35, n, n] intermediate <= ~256 MB.
+    per_row = b * c_n * 35 * n * n * 4
+    rows_chunk = int(max(1, min(r_n, (256 << 20) // max(per_row, 1))))
+    k = -(-r_n // rows_chunk)
+    pad_r = k * rows_chunk - r_n
+
+    def pad_rows(x):
+        return jnp.pad(x, [(0, 0), (0, pad_r)] + [(0, 0)] * (x.ndim - 2))
+
+    bd = pad_rows(bounds).reshape(b, k, rows_chunk, c_n, 4 * n + 1)
+    bk = pad_rows(blocks).reshape(b, k, rows_chunk, c_n, n, n)
+    avp = np.pad(av, [(0, pad_r), (0, 0), (0, 0)])
+    avk = jnp.asarray(avp.reshape(k, rows_chunk, c_n, 4 * n + 1))
+
+    def chunk_fn(args):
+        bd_c, bk_c, av_c = args                # [B,rows,C,L], [B,rows,C,n,n]
+        filled = intra.fill_reference(bd_c, jnp.broadcast_to(av_c, bd_c.shape))
+        top_e, left_e = intra.split_boundary(filled, n)
+        top_f, left_f = intra.smooth_reference(top_e, left_e, n)
+        preds = intra_mm.predict_all_modes_mm(top_e, left_e, top_f, left_f, n)
+        return cost.satd(preds, bk_c[..., None, :, :])        # [B,rows,C,35]
+
+    if k == 1:
+        costs = chunk_fn((bd[:, 0], bk[:, 0], avk[0]))[:, None]
+    else:
+        costs = jax.lax.map(
+            chunk_fn, (jnp.moveaxis(bd, 1, 0), jnp.moveaxis(bk, 1, 0), avk))
+        costs = jnp.moveaxis(costs, 0, 1)
+    costs = costs.reshape(b, k * rows_chunk, c_n, 35)[:, :r_n]
+    return costs
+
+
+def _dense_mode_decision(plane: jnp.ndarray, geom: Geometry):
+    """Best SATD mode for every CU position at every depth.
+
+    Returns {n: [B, R, C] int32} for n in (64, 32, 16, 8). The 64-CU mode
+    is chosen by the summed SATD of its four 32x32 quadrants (a 64 CU codes
+    as four 32x32 TUs anyway — max TU is 32 — so the pooled cost models the
+    real coding cost better than a monolithic 64x64 SATD)."""
+    modes = {}
+    c32 = None
+    for n in (32, 16, 8):
+        costs = _dense_costs(plane, geom, n)
+        modes[n] = jnp.argmin(costs, axis=-1).astype(jnp.int32)
+        if n == 32:
+            c32 = costs
+    b, r32, c32n = c32.shape[:3]
+    pooled = c32.reshape(b, r32 // 2, 2, c32n // 2, 2, 35).sum(axis=(2, 4))
+    modes[64] = jnp.argmin(pooled, axis=-1).astype(jnp.int32)
+    return modes
 
 
 # ---------------------------------------------------------------------------
@@ -143,41 +194,54 @@ def _dense_mode_decision(plane: jnp.ndarray, geom: Geometry, n: int):
 # ---------------------------------------------------------------------------
 
 
-def _boundary_read(local: jnp.ndarray, top_strip: jnp.ndarray,
-                   left_strip: jnp.ndarray, oy, ox, n: int,
-                   span: int) -> jnp.ndarray:
-    """Gather the 4n+1 boundary samples of a TU at traced local origin
-    (oy, ox) from the CTU-local recon + neighbor strips. [BA, 4n+1]."""
+@functools.lru_cache(maxsize=None)
+def _zorder_avail_np(oy: int, ox: int, n: int, span: int) -> np.ndarray:
+    """Static decoded-before mask [4n+1] for a TU at CTU-local origin
+    (oy, ox): z-order within the CTU, wavefront order (left/above/above-*)
+    across CTUs. The traced in-picture check is applied separately."""
     dy, dx = ctu.boundary_offsets(n)
-    ly, lx = oy + jnp.asarray(dy), ox + jnp.asarray(dx)
-    sel_top = ly == -1
-    sel_left = (lx == -1) & ~sel_top
-    from_top = top_strip[:, jnp.clip(lx + 1, 0, 2 * span)]
-    from_left = left_strip[:, jnp.clip(ly, 0, span - 1)]
-    from_local = local[:, jnp.clip(ly, 0, span - 1), jnp.clip(lx, 0, span - 1)]
-    return jnp.where(sel_top, from_top,
-                     jnp.where(sel_left, from_left, from_local))
+    ly, lx = oy + dy, ox + dx
+    same = (ly >= 0) & (lx >= 0) & (ly < span) & (lx < span)
+    zmap = ctu.morton(span // 4)
+    zb = zmap[np.clip(ly, 0, span - 1) // 4, np.clip(lx, 0, span - 1) // 4]
+    z_tu = zmap[oy // 4, ox // 4]
+    above = ly < 0
+    left_of = (lx < 0) & (ly >= 0) & (ly < span)
+    return np.where(same, zb < z_tu, above | left_of)
 
 
-def _tu_step(state, orig, mode, fire, oy, ox, n, qp, *, is_luma, ctu_yx,
-             frame_hw, span):
-    """One masked TU at traced origin: predict -> transform -> quant ->
-    dequant -> reconstruct.
+def _tu_step_dyn(ext, levels, orig, mode, fire, oy, ox, n: int, qp, av_z, *,
+                 is_luma, ctu_yx, frame_hw, span: int):
+    """One masked TU at traced origin (oy, ox): predict -> transform ->
+    quant -> dequant -> reconstruct, as dynamic slices + MXU matmuls.
 
-    state = (local_recon, local_levels, top_strip, left_strip); all [BA, ...].
-    Returns updated (local_recon, local_levels), cbf [BA] bool.
+    ext [BA, span+1+span//2, 2span+2] is the extended CTU-local recon:
+    row 0 = above-neighbor strip (corner + above + above-right), column 0 =
+    left-neighbor strip, (1+y, 1+x) = local pixel (y, x); the extra bottom
+    rows and right cols are never-available filler that keeps the below-CTU
+    boundary reads unclamped. av_z [4n+1] is the static decoded-before mask
+    for this origin (z-order in-CTU, wavefront across CTUs); the traced
+    in-picture check joins it here. Returns (ext, levels, cbf & fire).
     """
-    local, levels, top_strip, left_strip = state
-    ba = local.shape[0]
-    vals = _boundary_read(local, top_strip, left_strip, oy, ox, n, span)
-    av = ctu.boundary_available_traced(oy, ox, n, ctu_yx[0], ctu_yx[1],
-                                       frame_hw[0], frame_hw[1],
-                                       scale=64 // span)
+    ba = ext.shape[0]
+    # Boundary in scan order: left col bottom-to-top, corner, top row.
+    leftcol = jax.lax.dynamic_slice(ext, (0, oy + 1, ox),
+                                    (ba, 2 * n, 1))[:, :, 0]
+    toprow = jax.lax.dynamic_slice(ext, (0, oy, ox),
+                                   (ba, 1, 2 * n + 1))[:, 0]
+    vals = jnp.concatenate([leftcol[:, ::-1], toprow], axis=1)
+
+    dy, dx = ctu.boundary_offsets(n)
+    fy = ctu_yx[0][:, None] + oy + jnp.asarray(dy)[None, :]
+    fx = ctu_yx[1][:, None] + ox + jnp.asarray(dx)[None, :]
+    inside = (fy >= 0) & (fx >= 0) & (fy < frame_hw[0]) & (fx < frame_hw[1])
+    av = inside & av_z
+
     filled = intra.fill_reference(vals, av)
     top_e, left_e = intra.split_boundary(filled, n)
     top_f, left_f = intra.smooth_reference(top_e, left_e, n)
-    pred = intra.predict_one_mode(top_e, left_e, top_f, left_f, mode, n,
-                                  is_luma=is_luma)
+    pred = intra_mm.predict_selected_mode_mm(top_e, left_e, top_f, left_f,
+                                             mode, n, is_luma=is_luma)
     orig_blk = jax.lax.dynamic_slice(orig, (0, oy, ox), (ba, n, n))
     res = orig_blk - pred
     log2 = int(np.log2(n))
@@ -189,13 +253,42 @@ def _tu_step(state, orig, mode, fire, oy, ox, n, qp, *, is_luma, ctu_yx,
     recon = jnp.clip(pred + rinv, 0, 255)
 
     fb = fire[:, None, None]
-    cur_r = jax.lax.dynamic_slice(local, (0, oy, ox), (ba, n, n))
-    local = jax.lax.dynamic_update_slice(
-        local, jnp.where(fb, recon, cur_r), (0, oy, ox))
+    cur = jax.lax.dynamic_slice(ext, (0, oy + 1, ox + 1), (ba, n, n))
+    ext = jax.lax.dynamic_update_slice(
+        ext, jnp.where(fb, recon, cur), (0, oy + 1, ox + 1))
     cur_l = jax.lax.dynamic_slice(levels, (0, oy, ox), (ba, n, n))
     levels = jax.lax.dynamic_update_slice(
         levels, jnp.where(fb, lvl, cur_l), (0, oy, ox))
-    return local, levels, cbf & fire
+    return ext, levels, cbf & fire
+
+
+@functools.lru_cache(maxsize=None)
+def _block16_schedule():
+    """Static per-iteration tables for the z-order scan over the 16 16-pel
+    blocks of a CTU: origins, quadrant-leader flags, and decoded-before
+    availability vectors for the TU32/TU16/TU8 substeps (luma + chroma)."""
+    ty = np.zeros(16, np.int32)
+    tx = np.zeros(16, np.int32)
+    is_q = np.zeros(16, bool)
+    av32 = np.zeros((16, 129), bool)
+    av32c = np.zeros((16, 65), bool)
+    av16 = np.zeros((16, 65), bool)
+    av16c = np.zeros((16, 33), bool)
+    av8 = np.zeros((16, 4, 33), bool)
+    av8c = np.zeros((16, 4, 17), bool)
+    for t in range(16):
+        qy, qx = ((t // 4) // 2) * 32, ((t // 4) % 2) * 32
+        y, x = qy + ((t % 4) // 2) * 16, qx + ((t % 4) % 2) * 16
+        ty[t], tx[t], is_q[t] = y, x, (t % 4) == 0
+        av32[t] = _zorder_avail_np(qy, qx, 32, 64)
+        av32c[t] = _zorder_avail_np(qy // 2, qx // 2, 16, 32)
+        av16[t] = _zorder_avail_np(y, x, 16, 64)
+        av16c[t] = _zorder_avail_np(y // 2, x // 2, 8, 32)
+        for e in range(4):
+            ey, ex = y + (e // 2) * 8, x + (e % 2) * 8
+            av8[t, e] = _zorder_avail_np(ey, ex, 8, 64)
+            av8c[t, e] = _zorder_avail_np(ey // 2, ex // 2, 4, 32)
+    return ty, tx, is_q, av32, av32c, av16, av16c, av8, av8c
 
 
 class FrameEncoder:
@@ -235,7 +328,7 @@ class FrameEncoder:
             jnp.asarray(bw)[None, None, :])          # [B, rc, cc, 8, 8]
 
         # Stage 1: dense mode decision per depth.
-        modes = {n: _dense_mode_decision(yp, g, n) for n in (64, 32, 16, 8)}
+        modes = _dense_mode_decision(yp, g)
 
         # Per-slot mode map (the CU's luma mode at every 8x8 slot), for the
         # entropy stage's quadtree walk and MPM derivation.
@@ -270,6 +363,19 @@ class FrameEncoder:
         m16 = to_blocked(modes[16], 4)
         m8 = to_blocked(modes[8], 8)
 
+        def make_ext(top, left, span):
+            """[BA, span+1+span//2, 2span+2] extended local buffer: row 0 =
+            above strip (corner+above+above-right, clamped), col 0 = left
+            strip, interior zeros (filled by TU writes); the extra bottom
+            rows / right cols are never-available filler that keeps all
+            boundary reads unclamped."""
+            nb = top.shape[0]
+            row0 = jnp.concatenate([top, top[:, -1:]], axis=1)[:, None, :]
+            body = jnp.concatenate(
+                [left[:, :, None],
+                 jnp.zeros((nb, span, 2 * span + 1), jnp.int32)], axis=2)
+            filler = jnp.zeros((nb, span // 2, 2 * span + 2), jnp.int32)
+            return jnp.concatenate([row0, body, filler], axis=1)
 
         def diagonal_body(carry, xs):
             (ry, ru, rv, lvy, lvu, lvv, cby, cbu, cbv) = carry
@@ -302,8 +408,7 @@ class FrameEncoder:
             d8 = gath(depth8)                          # [BA, 8, 8]
             c8 = gath(coded8)
             oyl = gath(oy_b)
-            oul = gath(ou_b)
-            ovl = gath(ov_b)
+            ouv = jnp.concatenate([gath(ou_b), gath(ov_b)], axis=0)  # [2BA,..]
             mm64 = gath(m64)
             mm32 = gath(m32)
             mm16 = gath(m16)
@@ -311,76 +416,86 @@ class FrameEncoder:
 
             ctu_y = (ri * 64).reshape(ba)
             ctu_x = (ci * 64).reshape(ba)
-            ctu_yc = (ri * 32).reshape(ba)
-            ctu_xc = (ci * 32).reshape(ba)
+            ctu_yc2 = jnp.tile((ri * 32).reshape(ba), 2)
+            ctu_xc2 = jnp.tile((ci * 32).reshape(ba), 2)
 
-            ly = jnp.zeros((ba, 64, 64), jnp.int32)
-            lu = jnp.zeros((ba, 32, 32), jnp.int32)
-            lv = jnp.zeros((ba, 32, 32), jnp.int32)
+            ext_y = make_ext(top_y, left_y, 64)
+            ext_c = make_ext(jnp.concatenate([top_u, top_v], axis=0),
+                             jnp.concatenate([left_u, left_v], axis=0), 32)
             vy = jnp.zeros((ba, 64, 64), jnp.int32)
-            vu = jnp.zeros((ba, 32, 32), jnp.int32)
-            vv = jnp.zeros((ba, 32, 32), jnp.int32)
+            vc = jnp.zeros((2 * ba, 32, 32), jnp.int32)
             cy8 = jnp.zeros((ba, 8, 8), bool)
-            cu8 = jnp.zeros((ba, 8, 8), bool)
-            cv8 = jnp.zeros((ba, 8, 8), bool)
+            cc8 = jnp.zeros((2 * ba, 8, 8), bool)
             mk_flat = mk.reshape(ba)
 
-            def do_tu(st, size, oy, ox):
-                """One masked TU (luma + both chroma) at traced origin."""
-                (ly, lu, lv, vy, vu, vv, cy8, cu8, cv8) = st
-                sy, sx = oy // 8, ox // 8
-                d = d8[:, sy, sx]
-                coded = c8[:, sy, sx]
-                if size == 32:
-                    fire = (d <= 1) & coded
-                    mode = jnp.where(d == 0, mm64, mm32[:, oy // 32, ox // 32])
-                elif size == 16:
-                    fire = (d == 2) & coded
-                    mode = mm16[:, oy // 16, ox // 16]
-                else:
-                    fire = (d == 3) & coded
-                    mode = mm8[:, sy, sx]
+            # Z-order scan over the 16 16-pel blocks; each iteration runs a
+            # masked TU32 step (quadrant leaders only), the TU16 step, and
+            # the four TU8 steps — the exact tu_schedule() order.
+            sched = _block16_schedule()
+
+            def pick(arr2d, sy, sx):
+                return jax.lax.dynamic_slice(
+                    arr2d, (0, sy, sx), (arr2d.shape[0], 1, 1))[:, 0, 0]
+
+            def do_tu(st, mode, fire, oy, ox, size, av_z, av_zc, sy, sx):
+                ext_y, ext_c, vy, vc, cy8, cc8 = st
                 fire = fire & mk_flat
+                fire2 = jnp.tile(fire, 2)
+                ext_y, vy, cbf_l = _tu_step_dyn(
+                    ext_y, vy, oyl, mode, fire, oy, ox, size, self.qp, av_z,
+                    is_luma=True, ctu_yx=(ctu_y, ctu_x), frame_hw=(g.h, g.w),
+                    span=64)
+                ext_c, vc, cbf_c = _tu_step_dyn(
+                    ext_c, vc, ouv, jnp.tile(mode, 2), fire2, oy // 2,
+                    ox // 2, size // 2, self.qp_c, av_zc, is_luma=False,
+                    ctu_yx=(ctu_yc2, ctu_xc2), frame_hw=(g.h // 2, g.w // 2),
+                    span=32)
+                cy8 = jax.lax.dynamic_update_slice(
+                    cy8, jnp.where(fire, cbf_l,
+                                   pick(cy8, sy, sx))[:, None, None],
+                    (0, sy, sx))
+                cc8 = jax.lax.dynamic_update_slice(
+                    cc8, jnp.where(fire2, cbf_c,
+                                   pick(cc8, sy, sx))[:, None, None],
+                    (0, sy, sx))
+                return (ext_y, ext_c, vy, vc, cy8, cc8)
 
-                ly, vy, cbf_l = _tu_step(
-                    (ly, vy, top_y, left_y), oyl, mode, fire, oy, ox, size,
-                    self.qp, is_luma=True, ctu_yx=(ctu_y, ctu_x),
-                    frame_hw=(g.h, g.w), span=64)
-                nc = size // 2
-                lu, vu, cbf_u = _tu_step(
-                    (lu, vu, top_u, left_u), oul, mode, fire, oy // 2, ox // 2,
-                    nc, self.qp_c, is_luma=False, ctu_yx=(ctu_yc, ctu_xc),
-                    frame_hw=(g.h // 2, g.w // 2), span=32)
-                lv, vv, cbf_v = _tu_step(
-                    (lv, vv, top_v, left_v), ovl, mode, fire, oy // 2, ox // 2,
-                    nc, self.qp_c, is_luma=False, ctu_yx=(ctu_yc, ctu_xc),
-                    frame_hw=(g.h // 2, g.w // 2), span=32)
-                cy8 = cy8.at[:, sy, sx].set(jnp.where(fire, cbf_l, cy8[:, sy, sx]))
-                cu8 = cu8.at[:, sy, sx].set(jnp.where(fire, cbf_u, cu8[:, sy, sx]))
-                cv8 = cv8.at[:, sy, sx].set(jnp.where(fire, cbf_v, cv8[:, sy, sx]))
-                return (ly, lu, lv, vy, vu, vv, cy8, cu8, cv8)
-
-            def q_body(st, q):
-                qy, qx = (q // 2) * 32, (q % 2) * 32
-                st = do_tu(st, 32, qy, qx)
-
-                def t_body(st, t):
-                    ty, tx = qy + (t // 2) * 16, qx + (t % 2) * 16
-                    st = do_tu(st, 16, ty, tx)
-
-                    def e_body(st, e):
-                        ey, ex = ty + (e // 2) * 8, tx + (e % 2) * 8
-                        return do_tu(st, 8, ey, ex), None
-
-                    st, _ = jax.lax.scan(e_body, st, jnp.arange(4))
-                    return st, None
-
-                st, _ = jax.lax.scan(t_body, st, jnp.arange(4))
+            def block16_body(st, xs):
+                ty, tx, is_q, av32, av32c, av16, av16c, av8m, av8c = xs
+                sy, sx = ty // 8, tx // 8
+                d_t = pick(d8, sy, sx)
+                coded_t = pick(c8, sy, sx)
+                # TU32 (fires only at the quadrant-leader block).
+                m32s = pick(mm32, ty // 32, tx // 32)
+                mode_a = jnp.where(d_t == 0, mm64, m32s)
+                fire_a = is_q & (d_t <= 1) & coded_t
+                st = do_tu(st, mode_a, fire_a, ty, tx, 32, av32, av32c,
+                           sy, sx)
+                # TU16.
+                mode_b = pick(mm16, ty // 16, tx // 16)
+                st = do_tu(st, mode_b, (d_t == 2) & coded_t, ty, tx, 16,
+                           av16, av16c, sy, sx)
+                # TU8 x4 (z-order within the block).
+                for e in range(4):
+                    ey, ex = ty + (e // 2) * 8, tx + (e % 2) * 8
+                    esy, esx = ey // 8, ex // 8
+                    d_e = pick(d8, esy, esx)
+                    coded_e = pick(c8, esy, esx)
+                    mode_e = pick(mm8, esy, esx)
+                    st = do_tu(st, mode_e, (d_e == 3) & coded_e, ey, ex, 8,
+                               av8m[e], av8c[e], esy, esx)
                 return st, None
 
-            st = (ly, lu, lv, vy, vu, vv, cy8, cu8, cv8)
-            st, _ = jax.lax.scan(q_body, st, jnp.arange(4))
-            (ly, lu, lv, vy, vu, vv, cy8, cu8, cv8) = st
+            st = (ext_y, ext_c, vy, vc, cy8, cc8)
+            xs16 = tuple(jnp.asarray(x) for x in sched)
+            st, _ = jax.lax.scan(block16_body, st, xs16)
+            (ext_y, ext_c, vy, vc, cy8, cc8) = st
+
+            ly = ext_y[:, 1: 65, 1: 65]
+            lu = ext_c[:ba, 1: 33, 1: 33]
+            lv = ext_c[ba:, 1: 33, 1: 33]
+            vu, vv = vc[:ba], vc[ba:]
+            cu8, cv8 = cc8[:ba], cc8[ba:]
 
             # scatter local results; inactive slots dropped via an
             # out-of-range row (negative indices would WRAP in jax .at[]).
