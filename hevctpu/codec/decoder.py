@@ -26,6 +26,7 @@ class Decoder:
         self.sps = None
         self.pps = None
         self.frames = []  # (recon_y, recon_u, recon_v)
+        self.hashes_ok = []  # one bool per decoded-picture-hash SEI
 
     def decode(self, stream: bytes):
         for nal_type, _tid, rbsp in bitio.split_annexb(stream):
@@ -37,6 +38,13 @@ class Decoder:
                 continue
             elif nal_type == headers.NAL_IDR_W_RADL:
                 self._decode_slice(rbsp, nal_type)
+            elif nal_type == headers.NAL_SEI_SUFFIX:
+                digests = headers.parse_hash_sei(rbsp)
+                if digests is not None:
+                    got = [headers.plane_md5(p) for p in self.frames[-1]]
+                    ok = got == digests
+                    self.hashes_ok.append(ok)
+                    assert ok, "decoded-picture-hash SEI mismatch"
             else:
                 raise NotImplementedError(f"NAL type {nal_type}")
         return self.frames
@@ -62,8 +70,12 @@ class Decoder:
                 h if is_luma else h // 2, w if is_luma else w // 2,
                 span=64 if is_luma else 32,
                 strong_smoothing=cfg.strong_intra_smoothing)
-        self.frames.append((planes[0][:h, :w], planes[1][:h // 2, :w // 2],
-                            planes[2][:h // 2, :w // 2]))
+        ry, ru, rv = (planes[0][:h, :w], planes[1][:h // 2, :w // 2],
+                      planes[2][:h // 2, :w // 2])
+        if not self.pps.get("deblock_disabled", True):
+            ry, ru, rv = refimpl.deblock_frame_np(
+                ry, ru, rv, sd.depth8[: h // 8, : w // 8], sh["qp"], h, w)
+        self.frames.append((ry, ru, rv))
 
 
 def encode_stream(cfg: headers.StreamConfig, frames: list[dict],
@@ -93,4 +105,10 @@ def encode_stream(cfg: headers.StreamConfig, frames: list[dict],
             else:
                 rbsp = SliceEncoder(cfg, fr, i).encode()
             out += bitio.nal_unit(headers.NAL_IDR_W_RADL, rbsp)
+            if "recon_y" in fr:
+                out += bitio.nal_unit(
+                    headers.NAL_SEI_SUFFIX,
+                    headers.write_hash_sei(fr["recon_y"][i], fr["recon_u"][i],
+                                           fr["recon_v"][i]),
+                    temporal_id=0)
     return bytes(out)

@@ -19,6 +19,9 @@ NAL_IDR_W_RADL = 19
 NAL_VPS = 32
 NAL_SPS = 33
 NAL_PPS = 34
+NAL_SEI_SUFFIX = 40
+
+SEI_DECODED_PICTURE_HASH = 132
 
 
 @dataclasses.dataclass
@@ -29,6 +32,7 @@ class StreamConfig:
     strong_intra_smoothing: bool = True
     sign_data_hiding: bool = False
     max_tu_depth_intra: int = 0
+    deblock: bool = True
 
 
 def _profile_tier_level(bw: BitWriter):
@@ -140,7 +144,7 @@ def write_pps(cfg: StreamConfig) -> bytes:
     bw.flag(1)            # pps_loop_filter_across_slices_enabled_flag
     bw.flag(1)            # deblocking_filter_control_present_flag
     bw.flag(0)            # deblocking_filter_override_enabled_flag
-    bw.flag(1)            # pps_deblocking_filter_disabled_flag
+    bw.flag(0 if cfg.deblock else 1)  # pps_deblocking_filter_disabled_flag
     bw.flag(0)            # pps_scaling_list_data_present_flag
     bw.flag(0)            # lists_modification_present_flag
     bw.ue(0)              # log2_parallel_merge_level_minus2
@@ -148,6 +152,45 @@ def write_pps(cfg: StreamConfig) -> bytes:
     bw.flag(0)            # pps_extension_present_flag
     bw.byte_align_rbsp()
     return bw.data()
+
+
+def plane_md5(plane) -> bytes:
+    """MD5 of one 8-bit sample plane, row-major (TComPicYuvMD5::calcMD5
+    semantics, TComPicYuvMD5.cpp:185 — one byte per sample at bit depth 8,
+    over the conformance-window picture, no padding)."""
+    import hashlib
+    import numpy as np
+    return hashlib.md5(
+        np.ascontiguousarray(plane).astype(np.uint8).tobytes()).digest()
+
+
+def write_hash_sei(recon_y, recon_u, recon_v) -> bytes:
+    """Decoded-picture-hash suffix-SEI RBSP (MD5 per plane), as the
+    reference emits per picture (SEIEncoder initDecodedPictureHashSEI,
+    called at TEncGOP.cpp:1948; D.2.19 syntax)."""
+    payload = bytes([0])  # hash_type = 0 (MD5)
+    for p in (recon_y, recon_u, recon_v):
+        payload += plane_md5(p)
+    bw = BitWriter()
+    bw.u(SEI_DECODED_PICTURE_HASH, 8)   # payload type (< 255, one byte)
+    bw.u(len(payload), 8)               # payload size
+    for byte in payload:
+        bw.u(byte, 8)
+    bw.byte_align_rbsp()                # rbsp_trailing_bits
+    return bw.data()
+
+
+def parse_hash_sei(rbsp: bytes):
+    """Parse a decoded-picture-hash SEI; returns list of 3 MD5 digests or
+    None if the SEI is some other payload type."""
+    br = BitReader(rbsp)
+    ptype = br.u(8)
+    psize = br.u(8)
+    if ptype != SEI_DECODED_PICTURE_HASH:
+        return None
+    assert psize == 49, psize
+    assert br.u(8) == 0, "only MD5 hash_type supported"
+    return [bytes(br.u(8) for _ in range(16)) for _ in range(3)]
 
 
 def write_slice_header(cfg: StreamConfig) -> BitWriter:

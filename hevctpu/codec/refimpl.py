@@ -268,3 +268,133 @@ def recon_tu(plane, levels, y0, x0, log2, mode, cbf, qp, is_luma, h, w,
     else:
         rec = np.clip(pred, 0, (1 << bit_depth) - 1)
     plane[y0: y0 + n, x0: x0 + n] = rec
+
+
+# ---------------------------------------------------------------------------
+# Deblocking filter (8.7.2) — scalar, per-edge loops, written from the spec.
+# All-Intra: every TU/CU boundary on the 8-pel luma grid has bS = 2.
+# ---------------------------------------------------------------------------
+
+_DB_BETA = [0] * 16 + [6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18, 20,
+                       22, 24, 26, 28, 30, 32, 34, 36, 38, 40, 42, 44, 46,
+                       48, 50, 52, 54, 56, 58, 60, 62, 64]
+_DB_TC = [0] * 18 + [1, 1, 1, 1, 1, 1, 1, 1, 1, 2, 2, 2, 2, 3, 3, 3, 3, 4,
+                     4, 4, 5, 5, 6, 6, 7, 8, 9, 10, 11, 13, 14, 16, 18, 20,
+                     22, 24]
+
+
+def _clip3(lo, hi, x):
+    return max(lo, min(hi, x))
+
+
+def _tu_size8(depth8, sy, sx):
+    return 1 << (min(6 - int(depth8[sy, sx]), 5) - 3)
+
+
+def _deblock_luma_edges(plane, depth8, qp, h, w, bd=8):
+    """Vertical luma edges of `plane` in place (call transposed for
+    horizontal). plane indexed [y, x]."""
+    beta = _DB_BETA[_clip3(0, 51, qp)] << (bd - 8)
+    tc = _DB_TC[_clip3(0, 53, qp + 2)] << (bd - 8)
+    maxv = (1 << bd) - 1
+    if beta == 0 and tc == 0:
+        return
+    for x in range(8, w, 8):
+        for ys in range(0, h, 4):
+            if (x // 8) % _tu_size8(depth8, ys // 8, x // 8):
+                continue
+            seg = plane[ys: ys + 4]
+
+            def p(i, k):
+                return int(seg[k, x - 1 - i])
+
+            def q(i, k):
+                return int(seg[k, x + i])
+
+            dp0 = abs(p(2, 0) - 2 * p(1, 0) + p(0, 0))
+            dp3 = abs(p(2, 3) - 2 * p(1, 3) + p(0, 3))
+            dq0 = abs(q(2, 0) - 2 * q(1, 0) + q(0, 0))
+            dq3 = abs(q(2, 3) - 2 * q(1, 3) + q(0, 3))
+            d = dp0 + dq0 + dp3 + dq3
+            if d >= beta:
+                continue
+
+            def dsam(k):
+                return (2 * (dp0 + dq0 if k == 0 else dp3 + dq3) < beta >> 2
+                        and abs(p(3, k) - p(0, k)) + abs(q(0, k) - q(3, k))
+                        < beta >> 3
+                        and abs(p(0, k) - q(0, k)) < (5 * tc + 1) >> 1)
+
+            strong = dsam(0) and dsam(3)
+            dep1 = dp0 + dp3 < (beta + (beta >> 1)) >> 3
+            deq1 = dq0 + dq3 < (beta + (beta >> 1)) >> 3
+            for k in range(4):
+                p3, p2, p1, p0 = p(3, k), p(2, k), p(1, k), p(0, k)
+                q0, q1, q2, q3 = q(0, k), q(1, k), q(2, k), q(3, k)
+                if strong:
+                    seg[k, x - 1] = _clip3(p0 - 2 * tc, p0 + 2 * tc,
+                                           (p2 + 2 * p1 + 2 * p0 + 2 * q0
+                                            + q1 + 4) >> 3)
+                    seg[k, x - 2] = _clip3(p1 - 2 * tc, p1 + 2 * tc,
+                                           (p2 + p1 + p0 + q0 + 2) >> 2)
+                    seg[k, x - 3] = _clip3(p2 - 2 * tc, p2 + 2 * tc,
+                                           (2 * p3 + 3 * p2 + p1 + p0 + q0
+                                            + 4) >> 3)
+                    seg[k, x] = _clip3(q0 - 2 * tc, q0 + 2 * tc,
+                                       (p1 + 2 * p0 + 2 * q0 + 2 * q1 + q2
+                                        + 4) >> 3)
+                    seg[k, x + 1] = _clip3(q1 - 2 * tc, q1 + 2 * tc,
+                                           (p0 + q0 + q1 + q2 + 2) >> 2)
+                    seg[k, x + 2] = _clip3(q2 - 2 * tc, q2 + 2 * tc,
+                                           (p0 + q0 + q1 + 3 * q2 + 2 * q3
+                                            + 4) >> 3)
+                else:
+                    delta = (9 * (q0 - p0) - 3 * (q1 - p1) + 8) >> 4
+                    if abs(delta) >= tc * 10:
+                        continue
+                    delta = _clip3(-tc, tc, delta)
+                    seg[k, x - 1] = _clip3(0, maxv, p0 + delta)
+                    seg[k, x] = _clip3(0, maxv, q0 - delta)
+                    if dep1:
+                        dp = _clip3(-(tc >> 1), tc >> 1,
+                                    (((p2 + p0 + 1) >> 1) - p1 + delta) >> 1)
+                        seg[k, x - 2] = _clip3(0, maxv, p1 + dp)
+                    if deq1:
+                        dq = _clip3(-(tc >> 1), tc >> 1,
+                                    (((q2 + q0 + 1) >> 1) - q1 - delta) >> 1)
+                        seg[k, x + 1] = _clip3(0, maxv, q1 + dq)
+
+
+def _deblock_chroma_edges(plane, depth8, qp_c, hc, wc, bd=8):
+    """Vertical chroma edges in place. depth8 is the LUMA slot-depth map."""
+    tc = _DB_TC[_clip3(0, 53, qp_c + 2)] << (bd - 8)
+    maxv = (1 << bd) - 1
+    if tc == 0:
+        return
+    for xc in range(8, wc, 8):
+        for yc in range(hc):
+            sy, sx = (2 * yc) // 8, (2 * xc) // 8
+            if sx % _tu_size8(depth8, sy, sx):
+                continue
+            p1, p0 = int(plane[yc, xc - 2]), int(plane[yc, xc - 1])
+            q0, q1 = int(plane[yc, xc]), int(plane[yc, xc + 1])
+            delta = _clip3(-tc, tc, ((((q0 - p0) << 2) + p1 - q1 + 4) >> 3))
+            plane[yc, xc - 1] = _clip3(0, maxv, p0 + delta)
+            plane[yc, xc] = _clip3(0, maxv, q0 - delta)
+
+
+def deblock_frame_np(y, u, v, depth8, qp, h, w, bd=8):
+    """Scalar full-frame deblock: all vertical edges, then all horizontal
+    edges on the transposed planes (8.7.2 filter order). Arrays are
+    modified in place and returned."""
+    qp_c = rom.chroma_qp_from_luma(qp)
+    _deblock_luma_edges(y, depth8, qp, h, w, bd)
+    _deblock_chroma_edges(u, depth8, qp_c, h // 2, w // 2, bd)
+    _deblock_chroma_edges(v, depth8, qp_c, h // 2, w // 2, bd)
+    yt, ut, vt = (np.ascontiguousarray(p.T) for p in (y, u, v))
+    d8t = np.ascontiguousarray(depth8.T)
+    _deblock_luma_edges(yt, d8t, qp, w, h, bd)
+    _deblock_chroma_edges(ut, d8t, qp_c, w // 2, h // 2, bd)
+    _deblock_chroma_edges(vt, d8t, qp_c, w // 2, h // 2, bd)
+    return (np.ascontiguousarray(yt.T), np.ascontiguousarray(ut.T),
+            np.ascontiguousarray(vt.T))

@@ -33,7 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from hevctpu import rom
-from hevctpu.ops import cost, ctu, intra, intra_mm, quant, transforms
+from hevctpu.ops import cost, ctu, deblock, intra, intra_mm, quant, transforms
 
 # ---------------------------------------------------------------------------
 # Geometry
@@ -294,11 +294,12 @@ def _block16_schedule():
 class FrameEncoder:
     """Encodes batches of frames of one fixed geometry at one QP."""
 
-    def __init__(self, h: int, w: int, qp: int):
+    def __init__(self, h: int, w: int, qp: int, *, deblock: bool = True):
         assert h % 8 == 0 and w % 8 == 0, "HEVC requires dims % minCU == 0"
         self.geom = Geometry(h, w)
         self.qp = qp
         self.qp_c = rom.chroma_qp_from_luma(qp)
+        self.deblock = deblock
         self._encode = jax.jit(self._encode_impl)
 
     # -- public API --------------------------------------------------------
@@ -346,6 +347,19 @@ class FrameEncoder:
         out["depth8"] = from_blocked(depth8)
         out["coded8"] = from_blocked(coded8)
         out["mode8"] = from_blocked(mode_slot)
+
+        # In-loop filters (frame post-pass; intra prediction reads the
+        # pre-filter recon, exactly as HM applies them per picture after
+        # compressSlice, TEncGOP.cpp:1742).
+        if self.deblock:
+            ry = pad_plane(out["recon_y"], g.hp, g.wp)
+            ru = pad_plane(out["recon_u"], g.hp // 2, g.wp // 2)
+            rv = pad_plane(out["recon_v"], g.hp // 2, g.wp // 2)
+            fy, fu, fv = deblock.deblock_frame(
+                ry, ru, rv, out["depth8"], self.qp, g.h, g.w)
+            out["recon_y"] = fy[:, : g.h, : g.w]
+            out["recon_u"] = fu[:, : g.h // 2, : g.w // 2]
+            out["recon_v"] = fv[:, : g.h // 2, : g.w // 2]
         return out
 
     def _reconstruct(self, yp, up, vp, modes, depth8, coded8):
