@@ -33,7 +33,17 @@ import jax.numpy as jnp
 import numpy as np
 
 from hevctpu import rom
-from hevctpu.ops import cost, ctu, deblock, intra, intra_mm, quant, transforms
+from hevctpu.ops import (cost, ctu, deblock, intra, intra_mm, quant,
+                         satd_fused, transforms)
+
+
+def _use_fused_satd() -> bool:
+    """Fused Pallas stage-1 kernel on TPU (HEVCTPU_FUSED=0/1 overrides)."""
+    import os
+    v = os.environ.get("HEVCTPU_FUSED")
+    if v is not None:
+        return v not in ("0", "false")
+    return jax.default_backend() == "tpu"
 
 # ---------------------------------------------------------------------------
 # Geometry
@@ -136,6 +146,16 @@ def _dense_costs(plane: jnp.ndarray, geom: Geometry, n: int) -> jnp.ndarray:
     bounds = intra_mm.grid_boundaries(plane, n)               # [B,R,C,4n+1]
     av = _grid_avail(geom, n)
     blocks = to_blocked(plane, n)                             # [B,R,C,n,n]
+
+    if _use_fused_satd():
+        # Fused Pallas path: predictions never leave VMEM, so no chunking
+        # is needed — the [.., 35, n, n] intermediate does not exist.
+        filled = intra.fill_reference(
+            bounds, jnp.broadcast_to(jnp.asarray(av), bounds.shape))
+        top_e, left_e = intra.split_boundary(filled, n)
+        top_f, left_f = intra.smooth_reference(top_e, left_e, n)
+        return satd_fused.dense_mode_costs(top_e, left_e, top_f, left_f,
+                                           blocks, n)
 
     # Chunk rows: keep the [B, rows, C, 35, n, n] intermediate <= ~256 MB.
     per_row = b * c_n * 35 * n * n * 4
