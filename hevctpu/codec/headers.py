@@ -145,6 +145,9 @@ def write_pps(cfg: StreamConfig) -> bytes:
     bw.flag(1)            # deblocking_filter_control_present_flag
     bw.flag(0)            # deblocking_filter_override_enabled_flag
     bw.flag(0 if cfg.deblock else 1)  # pps_deblocking_filter_disabled_flag
+    if cfg.deblock:
+        bw.se(0)          # pps_beta_offset_div2
+        bw.se(0)          # pps_tc_offset_div2
     bw.flag(0)            # pps_scaling_list_data_present_flag
     bw.flag(0)            # lists_modification_present_flag
     bw.ue(0)              # log2_parallel_merge_level_minus2
@@ -201,7 +204,12 @@ def write_slice_header(cfg: StreamConfig) -> BitWriter:
     bw.ue(0)              # slice_pic_parameter_set_id
     bw.ue(2)              # slice_type = I
     bw.se(cfg.qp - 26)    # slice_qp_delta
-    # deblocking: override disabled, PPS says disabled -> nothing more
+    # deblocking: override disabled -> slice inherits the PPS setting.
+    # slice_loop_filter_across_slices_enabled_flag (7.3.6.1) is present
+    # when pps_loop_filter_across_slices_enabled_flag=1 (we always set it)
+    # and any in-loop filter is active for this slice.
+    if cfg.deblock:
+        bw.flag(1)        # slice_loop_filter_across_slices_enabled_flag
     bw.u(1, 1)            # byte_alignment: alignment_bit_equal_to_one
     bw.align_zero()
     return bw
@@ -272,10 +280,13 @@ def parse_pps(rbsp: bytes) -> dict:
     assert not br.flag(), "tiles unsupported"
     pps["wpp"] = br.flag()
     assert not pps["wpp"], "WPP unsupported"
-    br.flag()  # loop filter across slices
+    pps["loop_filter_across_slices"] = br.flag()
     if br.flag():  # deblocking control present
         pps["deblock_override"] = br.flag()
         pps["deblock_disabled"] = br.flag()
+        if not pps["deblock_disabled"]:
+            assert br.se() == 0 and br.se() == 0, \
+                "nonzero beta/tc offsets unsupported"
     else:
         pps["deblock_override"] = False
         pps["deblock_disabled"] = False
@@ -308,6 +319,12 @@ def parse_slice_header(rbsp: bytes, sps: dict, pps: dict, nal_type: int):
         br.se(), br.se()
     if pps["deblock_override"]:
         raise NotImplementedError
+    # slice_loop_filter_across_slices_enabled_flag (7.3.6.1): present when
+    # the PPS allows cross-slice filtering and any in-loop filter is active.
+    if pps["loop_filter_across_slices"] and (
+            sh.get("sao_luma") or sh.get("sao_chroma")
+            or not pps["deblock_disabled"]):
+        sh["loop_filter_across_slices"] = br.flag()
     # byte alignment
     assert br.u(1) == 1
     while not br.byte_aligned():
