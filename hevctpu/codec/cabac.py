@@ -117,6 +117,57 @@ class CabacEncoder:
         self.bw.u(((self.low >> 7) & 3) | 1, 2)
 
 
+class CabacCounter:
+    """Fractional-bit counting engine with the CabacEncoder interface.
+
+    Equivalent of the reference's TEncBinCABACCounter
+    (TEncBinCoderCABACCounter.cpp:63, selected by FAST_BIT_EST for all RD
+    trials, TEncTop.h:101-103): context states advance exactly like the
+    real engine, but instead of arithmetic coding it accumulates the
+    information content -log2(P(bin)) of each bin, in 2^-15-bit units.
+    The probability model is the CABAC state line p(s) = 0.5·α^s with
+    α = (0.01875/0.5)^(1/63) (9.3.4.3.2.2), the same curve HM's
+    sm_entropyBits table is generated from.
+    """
+
+    _ENT = None  # [128]: bits (x 2^15) of coding bin b in state (s, mps)
+
+    def __init__(self):
+        self.frac = 0  # 2^-15 bit units
+        if CabacCounter._ENT is None:
+            alpha = (0.01875 / 0.5) ** (1.0 / 63.0)
+            ent = np.zeros(128, dtype=np.int64)
+            for s in range(64):
+                p_lps = 0.5 * alpha ** s
+                ent[2 * s] = int(round(-np.log2(1.0 - p_lps) * (1 << 15)))
+                ent[2 * s + 1] = int(round(-np.log2(p_lps) * (1 << 15)))
+            CabacCounter._ENT = ent
+
+    @property
+    def bits(self) -> float:
+        return self.frac / float(1 << 15)
+
+    def encode_bin(self, ctx: ContextModel, b: int):
+        is_lps = int(b != ctx.mps)
+        self.frac += int(CabacCounter._ENT[2 * ctx.state + is_lps])
+        if is_lps:
+            if ctx.state == 0:
+                ctx.mps ^= 1
+            ctx.state = int(rom.TRANS_LPS[ctx.state])
+        else:
+            ctx.state = int(rom.TRANS_MPS[ctx.state])
+
+    def encode_bypass(self, b: int):
+        self.frac += 1 << 15
+
+    def encode_bypass_bins(self, value: int, n: int):
+        self.frac += n << 15
+
+    def encode_terminate(self, b: int):
+        # ~ -log2(P) with P(terminate) modeled at its fixed 2/256 share.
+        self.frac += int(round((7.0 if b else 0.01) * (1 << 15)))
+
+
 class CabacDecoder:
     """Spec 9.3.4.3.2 mirror decoder reading from a byte buffer."""
 

@@ -1,0 +1,91 @@
+"""Rate-estimator validation: the stateless TPU bit estimate must track the
+exact CABAC coder closely enough to drive RD decisions.
+
+The reference makes every search decision on *estimated* bits too (counting
+CABAC, TEncBinCoderCABACCounter.cpp:63); what matters is rank fidelity
+across candidates, not absolute bit counts.
+"""
+
+import numpy as np
+import pytest
+
+from hevctpu import rom
+from hevctpu.codec import headers
+from hevctpu.codec.bitio import BitWriter
+from hevctpu.codec.cabac import CabacCounter, CabacEncoder, ContextSet
+from hevctpu.codec.syntax import SliceEncoder
+from hevctpu.ops import quant, rate, transforms
+
+
+def _true_residual_bits(blk: np.ndarray, log2: int, qp: int,
+                        mode: int = 1, comp: int = 0) -> float:
+    """Counting-CABAC bits to code one TU's levels (fresh contexts) — the
+    same fractional-bit measure HM uses for its own RD decisions."""
+    enc = SliceEncoder.__new__(SliceEncoder)
+    enc.levels = {comp: blk}
+    enc.ctx = ContextSet(qp, init_type=0)
+    enc.c = CabacCounter()
+    enc._residual(0, 0, log2, comp, mode)
+    return enc.c.bits
+
+
+def _sample_tus(log2: int, qp: int, n_samples: int, seed: int):
+    rng = np.random.default_rng(seed)
+    n = 1 << log2
+    sigmas = rng.uniform(1.0, 60.0, n_samples)
+    res = rng.normal(0, 1, (n_samples, n, n)) * sigmas[:, None, None]
+    import jax.numpy as jnp
+    coef = transforms.forward_transform(jnp.asarray(res, jnp.int32), log2)
+    lvl = np.asarray(quant.quantize(coef, log2, qp))
+    return lvl[np.abs(lvl).sum(axis=(1, 2)) > 0]
+
+
+@pytest.mark.parametrize("log2,qp", [(2, 27), (3, 32), (4, 32), (5, 37),
+                                     (3, 22)])
+def test_rank_correlation(log2, qp):
+    lvl = _sample_tus(log2, qp, 64, seed=log2 * 100 + qp)
+    assert len(lvl) >= 16
+    import jax.numpy as jnp
+    est = np.asarray(rate.estimate_tu_bits(jnp.asarray(lvl), log2),
+                     np.float64) / rate.BITS_ONE
+    true = np.array([_true_residual_bits(b, log2, qp) for b in lvl])
+    # Spearman rank correlation (no scipy dependency).
+    def ranks(x):
+        r = np.empty_like(x)
+        r[np.argsort(x)] = np.arange(len(x))
+        return r
+    re_, rt = ranks(est), ranks(true)
+    rho = np.corrcoef(re_, rt)[0, 1]
+    assert rho > 0.97, f"rank corr {rho:.4f}"
+    # absolute scale sanity: means within 35%.
+    ratio = est.mean() / true.mean()
+    assert 0.65 < ratio < 1.35, f"scale ratio {ratio:.3f}"
+
+
+def test_golomb_rice_exact():
+    """golomb_rice_bits must match the spec binarization length exactly."""
+    import jax.numpy as jnp
+
+    def ref_len(v, k):
+        if (v >> k) < 3:
+            return (v >> k) + 1 + k
+        v -= 3 << k
+        length = k
+        while v >= (1 << length):
+            v -= 1 << length
+            length += 1
+        return 3 + (length - k) + 1 + length
+
+    vs = np.arange(0, 4000)
+    for k in range(5):
+        got = np.asarray(rate.golomb_rice_bits(
+            jnp.asarray(vs), jnp.full_like(jnp.asarray(vs), k)))
+        want = np.array([ref_len(int(v), k) for v in vs])
+        np.testing.assert_array_equal(got, want)
+
+
+def test_zero_tu_cost():
+    import jax.numpy as jnp
+    z = jnp.zeros((2, 8, 8), jnp.int32)
+    b = np.asarray(rate.estimate_tu_bits(z, 3))
+    assert (b == rate.W_CBF0).all()
