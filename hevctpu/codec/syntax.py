@@ -21,6 +21,19 @@ from hevctpu.codec.bitio import BitWriter
 from hevctpu.codec.cabac import CabacDecoder, CabacEncoder, ContextSet
 
 
+CHROMA_MODE_LIST = (rom.PLANAR_IDX, rom.VER_IDX, rom.HOR_IDX, rom.DC_IDX)
+
+
+def resolve_chroma_mode(csel: int, luma_mode: int) -> int:
+    """intra_chroma_pred_mode symbol -> prediction mode (H.265 Table 8-3):
+    4 = derived (DM); 0..3 index {planar, ver, hor, dc}, with the entry
+    equal to the luma mode substituted by angular 34."""
+    if csel == 4:
+        return luma_mode
+    m = CHROMA_MODE_LIST[csel]
+    return 34 if m == luma_mode else m
+
+
 def derive_mpm(mode8: np.ndarray, x0: int, y0: int) -> list[int]:
     """3-entry most-probable-mode list (H.265 8.4.2). mode8 is the per-slot
     luma mode map; unavailable or above-CTB neighbors count as DC."""
@@ -122,6 +135,8 @@ class SliceEncoder(_Walker):
         self.levels = {0: frame["levels_y"][frame_idx],
                        1: frame["levels_u"][frame_idx],
                        2: frame["levels_v"][frame_idx]}
+        self.csel8 = (frame["csel8"][frame_idx] if "csel8" in frame
+                      else np.full_like(self.depth8, 4))
 
     def encode(self) -> bytes:
         bw = headers.write_slice_header(self.cfg)
@@ -177,9 +192,14 @@ class SliceEncoder(_Walker):
             self.c.encode_bin(self.ctx("prev_intra_luma_pred", 0), 0)
             rem = mode - sum(1 for m in sorted(mpm) if m < mode)
             self.c.encode_bypass_bins(rem, 5)
-        # intra_chroma_pred_mode = derived
-        self.c.encode_bin(self.ctx("intra_chroma_pred_mode", 0), 0)
-        self._transform_tree(x0, y0, log2, log2, 0, True, True, mode)
+        csel = int(self.csel8[y0 // 8, x0 // 8])
+        if csel == 4:  # derived (DM)
+            self.c.encode_bin(self.ctx("intra_chroma_pred_mode", 0), 0)
+        else:
+            self.c.encode_bin(self.ctx("intra_chroma_pred_mode", 0), 1)
+            self.c.encode_bypass_bins(csel, 2)
+        self._transform_tree(x0, y0, log2, log2, 0, True, True, mode,
+                             resolve_chroma_mode(csel, mode))
 
     # -- transform tree ----------------------------------------------------
 
@@ -189,7 +209,8 @@ class SliceEncoder(_Walker):
                             x0 // 8: x0 // 8 + max(s, 1)]
         return bool(sl.any())
 
-    def _transform_tree(self, x0, y0, log2, cu_log2, depth, pcb, pcr, mode):
+    def _transform_tree(self, x0, y0, log2, cu_log2, depth, pcb, pcr, mode,
+                        cmode):
         split = log2 > 5
         code_chroma = log2 > 2
         cb = self._node_cbf(1, x0, y0, log2)
@@ -203,7 +224,7 @@ class SliceEncoder(_Walker):
             h = 1 << (log2 - 1)
             for dy, dx in ((0, 0), (0, h), (h, 0), (h, h)):
                 self._transform_tree(x0 + dx, y0 + dy, log2 - 1, cu_log2,
-                                     depth + 1, cb, cr, mode)
+                                     depth + 1, cb, cr, mode, cmode)
             return
         cbf_l = bool(self.cbf[0][y0 // 8, x0 // 8])
         self.c.encode_bin(self.ctx("cbf_luma", 1 if depth == 0 else 0),
@@ -212,9 +233,9 @@ class SliceEncoder(_Walker):
             self._residual(x0, y0, log2, 0, mode)
         if code_chroma:
             if cb:
-                self._residual(x0 // 2, y0 // 2, log2 - 1, 1, mode)
+                self._residual(x0 // 2, y0 // 2, log2 - 1, 1, cmode)
             if cr:
-                self._residual(x0 // 2, y0 // 2, log2 - 1, 2, mode)
+                self._residual(x0 // 2, y0 // 2, log2 - 1, 2, cmode)
 
     # -- residual coding ---------------------------------------------------
 
@@ -366,6 +387,7 @@ class SliceDecoder(_Walker):
         self.depth8 = np.zeros((h8, w8), np.int32)
         self.coded8 = np.zeros((h8, w8), bool)
         self.mode8 = np.full((h8, w8), -1, np.int32)
+        self.csel8 = np.full((h8, w8), 4, np.int32)
         self.cbf = {0: np.zeros((h8, w8), bool), 1: np.zeros((h8, w8), bool),
                     2: np.zeros((h8, w8), bool)}
         self.levels = {0: np.zeros((self.rc * 64, self.cc * 64), np.int32),
@@ -429,11 +451,16 @@ class SliceDecoder(_Walker):
                     mode += 1
         s = 1 << (log2 - 3)
         self.mode8[y0 // 8: y0 // 8 + s, x0 // 8: x0 // 8 + s] = mode
-        dm = self.c.decode_bin(self.ctx("intra_chroma_pred_mode", 0))
-        assert dm == 0, "only derived chroma mode supported"
-        self._transform_tree(x0, y0, log2, log2, 0, True, True, mode)
+        if self.c.decode_bin(self.ctx("intra_chroma_pred_mode", 0)):
+            csel = self.c.decode_bypass_bins(2)
+        else:
+            csel = 4
+        self.csel8[y0 // 8: y0 // 8 + s, x0 // 8: x0 // 8 + s] = csel
+        self._transform_tree(x0, y0, log2, log2, 0, True, True, mode,
+                             resolve_chroma_mode(csel, mode))
 
-    def _transform_tree(self, x0, y0, log2, cu_log2, depth, pcb, pcr, mode):
+    def _transform_tree(self, x0, y0, log2, cu_log2, depth, pcb, pcr, mode,
+                        cmode):
         split = log2 > 5
         code_chroma = log2 > 2
         cb = cr = False
@@ -446,7 +473,7 @@ class SliceDecoder(_Walker):
             h = 1 << (log2 - 1)
             for dy, dx in ((0, 0), (0, h), (h, 0), (h, h)):
                 self._transform_tree(x0 + dx, y0 + dy, log2 - 1, cu_log2,
-                                     depth + 1, cb, cr, mode)
+                                     depth + 1, cb, cr, mode, cmode)
             return
         cbf_l = bool(self.c.decode_bin(
             self.ctx("cbf_luma", 1 if depth == 0 else 0)))
@@ -458,11 +485,11 @@ class SliceDecoder(_Walker):
         self.tu_list.append((x0, y0, log2, 0, mode, cbf_l))
         if code_chroma:
             if cb:
-                self._residual(x0 // 2, y0 // 2, log2 - 1, 1, mode)
-            self.tu_list.append((x0 // 2, y0 // 2, log2 - 1, 1, mode, cb))
+                self._residual(x0 // 2, y0 // 2, log2 - 1, 1, cmode)
+            self.tu_list.append((x0 // 2, y0 // 2, log2 - 1, 1, cmode, cb))
             if cr:
-                self._residual(x0 // 2, y0 // 2, log2 - 1, 2, mode)
-            self.tu_list.append((x0 // 2, y0 // 2, log2 - 1, 2, mode, cr))
+                self._residual(x0 // 2, y0 // 2, log2 - 1, 2, cmode)
+            self.tu_list.append((x0 // 2, y0 // 2, log2 - 1, 2, cmode, cr))
 
     def _residual(self, x0, y0, log2, comp, mode):
         n = 1 << log2

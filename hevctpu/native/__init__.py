@@ -85,7 +85,7 @@ def _load():
     lib.encode_slice_data.restype = ctypes.c_int
     lib.encode_slice_data.argtypes = [
         ctypes.c_int, ctypes.c_int, ctypes.c_int,
-        i32p, i32p, u8p, u8p, u8p, i32p, i32p, i32p,
+        i32p, i32p, i32p, u8p, u8p, u8p, i32p, i32p, i32p,
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int]
     _lib = lib
     return _lib
@@ -107,13 +107,15 @@ def encode_slice_data(width: int, height: int, qp: int,
         raise RuntimeError(f"native entropy unavailable: {_lib_err}")
     d8 = np.ascontiguousarray(frame["depth8"][i], np.int32)
     m8 = np.ascontiguousarray(frame["mode8"][i], np.int32)
+    cs8 = (np.ascontiguousarray(frame["csel8"][i], np.int32)
+           if "csel8" in frame else np.full_like(d8, 4))
     cbf = [np.ascontiguousarray(frame[k][i], np.uint8)
            for k in ("cbf_y", "cbf_u", "cbf_v")]
     lv = [np.ascontiguousarray(frame[k][i], np.int32)
           for k in ("levels_y", "levels_u", "levels_v")]
     cap = lv[0].size * 8 + 65536
     out = (ctypes.c_uint8 * cap)()
-    n = lib.encode_slice_data(width, height, qp, d8, m8, cbf[0], cbf[1],
+    n = lib.encode_slice_data(width, height, qp, d8, m8, cs8, cbf[0], cbf[1],
                               cbf[2], lv[0], lv[1], lv[2], out, cap)
     if n < 0:
         raise RuntimeError("native entropy: output overflow")

@@ -61,7 +61,7 @@ const uint8_t kSigCtx4x4[16] = {0, 1, 4, 5, 2, 3, 4, 5,
                                 6, 6, 8, 8, 7, 7, 8, 8};
 
 const int SCAN_DIAG = 0, SCAN_HOR = 1, SCAN_VER = 2;
-const int PLANAR_IDX = 0, DC_IDX = 1, VER_IDX = 26;
+const int PLANAR_IDX = 0, DC_IDX = 1, HOR_IDX = 10, VER_IDX = 26;
 
 // ---------------------------------------------------------------------------
 // Bit writer + CABAC engine (mirrors hevctpu/codec/cabac.py exactly)
@@ -289,17 +289,20 @@ struct SliceEnc {
   int w, h, rc, cc, h8, w8, wl, wc;
   const int32_t* depth8;
   const int32_t* mode8;
+  const int32_t* csel8;
   const uint8_t* cbf[3];
   const int32_t* levels[3];
   BitWriter bw;
   Cabac c;
 
   SliceEnc(int width, int height, int qp, const int32_t* d8, const int32_t* m8,
-           const uint8_t* cy, const uint8_t* cu, const uint8_t* cv,
-           const int32_t* ly, const int32_t* lu, const int32_t* lv)
+           const int32_t* cs8, const uint8_t* cy, const uint8_t* cu,
+           const uint8_t* cv, const int32_t* ly, const int32_t* lu,
+           const int32_t* lv)
       : w(width), h(height), rc((height + 63) / 64), cc((width + 63) / 64),
         h8(rc * 8), w8(cc * 8), wl(cc * 64), wc(cc * 32), depth8(d8),
-        mode8(m8), cbf{cy, cu, cv}, levels{ly, lu, lv}, c(bw, qp) {}
+        mode8(m8), csel8(cs8), cbf{cy, cu, cv}, levels{ly, lu, lv},
+        c(bw, qp) {}
 
   int d8(int y8, int x8) const { return depth8[y8 * w8 + x8]; }
 
@@ -384,8 +387,20 @@ struct SliceEnc {
         if (mpm[k] < mode) rem--;
       c.bypass_bins(rem, 5);
     }
-    c.bin(CTX_INTRA_CHROMA_PRED_MODE, 0);  // derived chroma mode
-    transform_tree(x0, y0, log2, 0, true, true, mode);
+    // intra_chroma_pred_mode (H.265 Table 8-3): 4 = derived, 0..3 indexes
+    // {planar, ver, hor, dc} with ==luma substituted by angular 34.
+    int csel = csel8[(y0 / 8) * w8 + x0 / 8];
+    int cmode;
+    if (csel == 4) {
+      c.bin(CTX_INTRA_CHROMA_PRED_MODE, 0);
+      cmode = mode;
+    } else {
+      c.bin(CTX_INTRA_CHROMA_PRED_MODE, 1);
+      c.bypass_bins(csel, 2);
+      static const int kList[4] = {PLANAR_IDX, VER_IDX, HOR_IDX, DC_IDX};
+      cmode = kList[csel] == mode ? 34 : kList[csel];
+    }
+    transform_tree(x0, y0, log2, 0, true, true, mode, cmode);
   }
 
   bool node_cbf(int comp, int x0, int y0, int log2) const {
@@ -397,7 +412,7 @@ struct SliceEnc {
   }
 
   void transform_tree(int x0, int y0, int log2, int depth, bool pcb, bool pcr,
-                      int mode) {
+                      int mode, int cmode) {
     bool split = log2 > 5;
     bool code_chroma = log2 > 2;
     bool cb = node_cbf(1, x0, y0, log2);
@@ -408,18 +423,19 @@ struct SliceEnc {
     }
     if (split) {
       int half = 1 << (log2 - 1);
-      transform_tree(x0, y0, log2 - 1, depth + 1, cb, cr, mode);
-      transform_tree(x0 + half, y0, log2 - 1, depth + 1, cb, cr, mode);
-      transform_tree(x0, y0 + half, log2 - 1, depth + 1, cb, cr, mode);
-      transform_tree(x0 + half, y0 + half, log2 - 1, depth + 1, cb, cr, mode);
+      transform_tree(x0, y0, log2 - 1, depth + 1, cb, cr, mode, cmode);
+      transform_tree(x0 + half, y0, log2 - 1, depth + 1, cb, cr, mode, cmode);
+      transform_tree(x0, y0 + half, log2 - 1, depth + 1, cb, cr, mode, cmode);
+      transform_tree(x0 + half, y0 + half, log2 - 1, depth + 1, cb, cr, mode,
+                     cmode);
       return;
     }
     bool cbf_l = cbf[0][(y0 / 8) * w8 + x0 / 8] != 0;
     c.bin(CTX_CBF_LUMA + (depth == 0 ? 1 : 0), cbf_l ? 1 : 0);
     if (cbf_l) residual(x0, y0, log2, 0, mode);
     if (code_chroma) {
-      if (cb) residual(x0 / 2, y0 / 2, log2 - 1, 1, mode);
-      if (cr) residual(x0 / 2, y0 / 2, log2 - 1, 2, mode);
+      if (cb) residual(x0 / 2, y0 / 2, log2 - 1, 1, cmode);
+      if (cr) residual(x0 / 2, y0 / 2, log2 - 1, 2, cmode);
     }
   }
 
@@ -608,11 +624,12 @@ extern "C" {
 
 // Returns bytes written to `out` (capacity out_cap), or -1 on overflow.
 int encode_slice_data(int width, int height, int qp, const int32_t* depth8,
-                      const int32_t* mode8, const uint8_t* cbf_y,
-                      const uint8_t* cbf_u, const uint8_t* cbf_v,
-                      const int32_t* levels_y, const int32_t* levels_u,
-                      const int32_t* levels_v, uint8_t* out, int out_cap) {
-  SliceEnc enc(width, height, qp, depth8, mode8, cbf_y, cbf_u, cbf_v,
+                      const int32_t* mode8, const int32_t* csel8,
+                      const uint8_t* cbf_y, const uint8_t* cbf_u,
+                      const uint8_t* cbf_v, const int32_t* levels_y,
+                      const int32_t* levels_u, const int32_t* levels_v,
+                      uint8_t* out, int out_cap) {
+  SliceEnc enc(width, height, qp, depth8, mode8, csel8, cbf_y, cbf_u, cbf_v,
                levels_y, levels_u, levels_v);
   enc.encode();
   int n = static_cast<int>(enc.bw.bytes.size());

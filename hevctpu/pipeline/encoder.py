@@ -33,8 +33,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from hevctpu import rom
-from hevctpu.ops import (cost, ctu, deblock, intra, intra_mm, quant,
-                         satd_fused, transforms)
+from hevctpu.ops import (cost, ctu, deblock, intra, intra_mm, quant, rate,
+                         rd, satd_fused, transforms)
 
 
 def _use_fused_satd() -> bool:
@@ -121,33 +121,44 @@ def from_blocked(b: jnp.ndarray) -> jnp.ndarray:
 
 
 @functools.lru_cache(maxsize=None)
-def _grid_avail(geom: Geometry, n: int) -> np.ndarray:
-    """Static availability mask [R, C, 4n+1] for every aligned n x n block."""
-    gy, gx = np.meshgrid(np.arange(0, geom.hp, n), np.arange(0, geom.wp, n),
+def _grid_avail(geom: Geometry, n: int, scale: int = 1) -> np.ndarray:
+    """Static availability mask [R, C, 4n+1] for every aligned n x n block
+    of the plane (scale=2 for chroma: CTU span 32, half-res picture)."""
+    span = 64 // scale
+    hp, wp = geom.hp // scale, geom.wp // scale
+    gy, gx = np.meshgrid(np.arange(0, hp, n), np.arange(0, wp, n),
                          indexing="ij")
     gy, gx = gy.ravel(), gx.ravel()
-    z16 = ctu.morton(16)
+    zm = ctu.morton(span // 4)
     with jax.ensure_compile_time_eval():
         av = np.asarray(ctu.boundary_available(
-            gy % 64, gx % 64, n, z16[(gy % 64) // 4, (gx % 64) // 4],
-            (gy // 64) * 64, (gx // 64) * 64, geom.h, geom.w, scale=1))
-    return av.reshape(geom.hp // n, geom.wp // n, 4 * n + 1)
+            gy % span, gx % span, n, zm[(gy % span) // 4, (gx % span) // 4],
+            (gy // span) * span, (gx // span) * span,
+            geom.h // scale, geom.w // scale, scale=scale))
+    return av.reshape(hp // n, wp // n, 4 * n + 1)
 
 
-def _dense_costs(plane: jnp.ndarray, geom: Geometry, n: int) -> jnp.ndarray:
-    """SATD cost of all 35 modes for every aligned n x n position.
+def _dense_costs(plane: jnp.ndarray, geom: Geometry, n: int,
+                 qp: int | None = None, lam: float = 0.0, *,
+                 is_luma: bool = True, scale: int = 1) -> jnp.ndarray:
+    """Cost of all 35 modes for every aligned n x n position.
 
-    plane [B, hp, wp] (luma). Returns [B, R, C, 35] int32. One MXU matmul
-    per row-chunk predicts all modes of all positions (intra_mm); rows are
-    chunked with lax.map so the [*, 35, n, n] intermediate stays bounded.
+    plane [B, hp, wp] (luma). Returns [B, R, C, 35]. With qp=None this is
+    the SATD cost (int32, the reference's pass-1 measure,
+    TEncSearch.cpp:2296-2320); with a qp it is the dense RD estimate
+    (float32): transform-domain SSE + λ·estimated CABAC bits (ops/rd.py),
+    i.e. the reference's pass-2 full-RD trial (TEncSearch.cpp:1129-1549)
+    evaluated for *every* mode at *every* position as batched matmuls.
+    Rows are chunked with lax.map so the [*, 35, n, n] intermediates stay
+    bounded.
     """
     b, hp, wp = plane.shape
     r_n, c_n = hp // n, wp // n
     bounds = intra_mm.grid_boundaries(plane, n)               # [B,R,C,4n+1]
-    av = _grid_avail(geom, n)
+    av = _grid_avail(geom, n, scale)
     blocks = to_blocked(plane, n)                             # [B,R,C,n,n]
 
-    if _use_fused_satd():
+    if qp is None and _use_fused_satd():
         # Fused Pallas path: predictions never leave VMEM, so no chunking
         # is needed — the [.., 35, n, n] intermediate does not exist.
         filled = intra.fill_reference(
@@ -157,8 +168,10 @@ def _dense_costs(plane: jnp.ndarray, geom: Geometry, n: int) -> jnp.ndarray:
         return satd_fused.dense_mode_costs(top_e, left_e, top_f, left_f,
                                            blocks, n)
 
-    # Chunk rows: keep the [B, rows, C, 35, n, n] intermediate <= ~256 MB.
-    per_row = b * c_n * 35 * n * n * 4
+    # Chunk rows: keep the [B, rows, C, 35, n, n] intermediates <= ~256 MB
+    # (the RD path keeps ~6 of them live: pred/res/coef/lvl/deq/err).
+    live = 2 if qp is None else 6
+    per_row = b * c_n * 35 * n * n * 4 * live
     rows_chunk = int(max(1, min(r_n, (256 << 20) // max(per_row, 1))))
     k = -(-r_n // rows_chunk)
     pad_r = k * rows_chunk - r_n
@@ -176,8 +189,13 @@ def _dense_costs(plane: jnp.ndarray, geom: Geometry, n: int) -> jnp.ndarray:
         filled = intra.fill_reference(bd_c, jnp.broadcast_to(av_c, bd_c.shape))
         top_e, left_e = intra.split_boundary(filled, n)
         top_f, left_f = intra.smooth_reference(top_e, left_e, n)
-        preds = intra_mm.predict_all_modes_mm(top_e, left_e, top_f, left_f, n)
-        return cost.satd(preds, bk_c[..., None, :, :])        # [B,rows,C,35]
+        preds = intra_mm.predict_all_modes_mm(top_e, left_e, top_f, left_f, n,
+                                              is_luma=is_luma)
+        if qp is None:
+            return cost.satd(preds, bk_c[..., None, :, :])    # [B,rows,C,35]
+        log2 = int(np.log2(n))
+        rdc, _, _ = rd.mode_rd_costs(preds, bk_c, log2, qp, lam=lam)
+        return rdc
 
     if k == 1:
         costs = chunk_fn((bd[:, 0], bk[:, 0], avk[0]))[:, None]
@@ -189,24 +207,151 @@ def _dense_costs(plane: jnp.ndarray, geom: Geometry, n: int) -> jnp.ndarray:
     return costs
 
 
-def _dense_mode_decision(plane: jnp.ndarray, geom: Geometry):
-    """Best SATD mode for every CU position at every depth.
+_MODE_IDX = np.arange(35, dtype=np.int32)
 
-    Returns {n: [B, R, C] int32} for n in (64, 32, 16, 8). The 64-CU mode
-    is chosen by the summed SATD of its four 32x32 quadrants (a 64 CU codes
-    as four 32x32 TUs anyway — max TU is 32 — so the pooled cost models the
-    real coding cost better than a monolithic 64x64 SATD)."""
-    modes = {}
-    c32 = None
+
+def _mpm_mode_bits(best: jnp.ndarray, lam: float) -> jnp.ndarray:
+    """λ-scaled signaling cost of each mode [B, R, C, 35] given the grid of
+    provisional neighbor decisions `best` [B, R, C] (H.265 8.4.2 MPM rule;
+    the reference adds the analogous λ·xModeBitsIntra term to every
+    candidate cost, TEncSearch.cpp:2296-2320,5530)."""
+    left = jnp.pad(best[:, :, :-1], ((0, 0), (0, 0), (1, 0)),
+                   constant_values=rom.DC_IDX)
+    above = jnp.pad(best[:, :-1, :], ((0, 0), (1, 0), (0, 0)),
+                    constant_values=rom.DC_IDX)
+    a, bm = left, above
+    eq = a == bm
+    a_small = a < 2
+    m0 = jnp.where(eq, jnp.where(a_small, rom.PLANAR_IDX, a), a)
+    m1 = jnp.where(eq, jnp.where(a_small, rom.DC_IDX, 2 + ((a + 29) % 32)),
+                   bm)
+    m2_eq = jnp.where(a_small, rom.VER_IDX, 2 + ((a - 1) % 32))
+    has_pl = (a == rom.PLANAR_IDX) | (bm == rom.PLANAR_IDX)
+    has_dc = (a == rom.DC_IDX) | (bm == rom.DC_IDX)
+    m2_ne = jnp.where(~has_pl, rom.PLANAR_IDX,
+                      jnp.where(~has_dc, rom.DC_IDX, rom.VER_IDX))
+    m2 = jnp.where(eq, m2_eq, m2_ne)
+
+    modes = jnp.asarray(_MODE_IDX)                    # [35]
+    is0 = modes == m0[..., None]
+    is1 = modes == m1[..., None]
+    is2 = modes == m2[..., None]
+    # bins: mpm flag ~0.8 + tu idx (1 or 2 bypass); non-mpm: flag + 5 bypass
+    bits = jnp.where(is0, 1.8, jnp.where(is1 | is2, 2.8, 5.8))
+    return (lam * bits).astype(jnp.float32)
+
+
+def _dense_mode_decision(plane: jnp.ndarray, geom: Geometry, qp: int):
+    """RD-best mode + cost for every CU position at every depth.
+
+    Returns (modes {n: [B, R, C] int32}, costs {n: [B, R, C] float32}) for
+    n in (64, 32, 16, 8). RD = transform-domain SSE + λ(residual bits +
+    MPM-aware mode bits). The 64-CU entry pools its four 32x32 quadrants
+    per mode (a 64 CU codes as four 32x32 TUs — max TU is 32)."""
+    lam = rate.lambda_rd(qp)
+    modes, costs = {}, {}
+    rd32 = None
     for n in (32, 16, 8):
-        costs = _dense_costs(plane, geom, n)
-        modes[n] = jnp.argmin(costs, axis=-1).astype(jnp.int32)
+        c = _dense_costs(plane, geom, n, qp, lam)
+        # two-pass MPM: provisional argmin -> neighbor-aware mode bits.
+        prov = jnp.argmin(c, axis=-1).astype(jnp.int32)
+        c = c + _mpm_mode_bits(prov, lam)
+        modes[n] = jnp.argmin(c, axis=-1).astype(jnp.int32)
+        costs[n] = jnp.min(c, axis=-1)
         if n == 32:
-            c32 = costs
-    b, r32, c32n = c32.shape[:3]
-    pooled = c32.reshape(b, r32 // 2, 2, c32n // 2, 2, 35).sum(axis=(2, 4))
+            rd32 = c
+    b, r32, c32n = rd32.shape[:3]
+    pooled = rd32.reshape(b, r32 // 2, 2, c32n // 2, 2, 35).sum(axis=(2, 4))
     modes[64] = jnp.argmin(pooled, axis=-1).astype(jnp.int32)
-    return modes
+    costs[64] = jnp.min(pooled, axis=-1)
+    return modes, costs
+
+
+_CHROMA_LIST = np.array([rom.PLANAR_IDX, rom.VER_IDX, rom.HOR_IDX,
+                         rom.DC_IDX], np.int32)
+
+
+def _dense_chroma_decision(up, vp, geom: Geometry, qp: int, qp_c: int,
+                           luma_modes: dict):
+    """Per-CU chroma mode selection (intra_chroma_pred_mode search).
+
+    The reference searches DM + {planar, ver, hor, DC} per chroma PU with
+    full RD (TEncSearch::estIntraPredChromaQT, TEncSearch.cpp:2588); the
+    mode is shared by Cb and Cr. Dense equivalent: joint Cb+Cr RD of all
+    35 modes per chroma block, gathered at the 5 legal candidates (with
+    the ==luma -> 34 substitution of H.265 Table 8-3). Returns, keyed by
+    *luma* CU size n in (64, 32, 16, 8):
+      csel  {n: [B,R,C] int32} — signaled symbol (0..3 list index, 4 = DM)
+      cmode {n: [B,R,C] int32} — resolved chroma prediction mode
+      ccost {n: [B,R,C] f32}  — w_c-weighted joint chroma RD at the choice
+    """
+    lam = rate.lambda_rd(qp)
+    w_c = rate.chroma_dist_weight(qp, qp_c)
+    lam_c = lam / w_c
+    csel, cmode, ccost = {}, {}, {}
+    for n in (64, 32, 16, 8):
+        m = n // 2
+        rd_u = _dense_costs(up, geom, m, qp_c, lam_c, is_luma=False, scale=2)
+        rd_v = _dense_costs(vp, geom, m, qp_c, lam_c, is_luma=False, scale=2)
+        joint = rd_u + rd_v                                  # [B,R,C,35]
+        lm = luma_modes[n]                                   # [B,R,C]
+        cand = jnp.broadcast_to(jnp.asarray(_CHROMA_LIST), lm.shape + (4,))
+        cand = jnp.where(cand == lm[..., None], 34, cand)
+        cand = jnp.concatenate([cand, lm[..., None]], axis=-1)  # slot 4 = DM
+        jc = jnp.take_along_axis(joint, cand, axis=-1)       # [B,R,C,5]
+        # signaling: DM = 1 ctx bin (~0.6 b); list = 1 ctx + 2 bypass bins.
+        jc = jc + jnp.asarray([2.6, 2.6, 2.6, 2.6, 0.6],
+                              jnp.float32) * lam_c
+        best = jnp.argmin(jc, axis=-1).astype(jnp.int32)
+        csel[n] = best
+        cmode[n] = jnp.take_along_axis(cand, best[..., None],
+                                       axis=-1)[..., 0]
+        ccost[n] = w_c * jnp.min(jc, axis=-1)
+    return csel, cmode, ccost
+
+
+def _rd_split_labels(costs: dict, qp: int) -> jnp.ndarray:
+    """Bottom-up RD quadtree decision -> per-CTU 16-label vectors.
+
+    The reference compares the merged cost of the four children against the
+    parent CU after adding the split-flag bits (TEncCu::xCompressCU
+    :858-867 + xCheckBestMode :1084). Dense equivalent: pool child costs
+    2x2 and take the min at each level. Per-CU overhead constants model the
+    split flag + per-CU fixed syntax (chroma mode, cbf bins).
+    Returns labels [B, rc*cc, 16] int32 in the CNN-label layout."""
+    lam = rate.lambda_rd(qp)
+    oh_cu = lam * 3.2    # per-CU fixed bins: chroma mode + cbf flags
+    oh_split = lam * 0.8  # split_cu_flag bin
+
+    def pool4(x):
+        b, r, c = x.shape
+        return x.reshape(b, r // 2, 2, c // 2, 2).sum(axis=(2, 4))
+
+    c8 = costs[8] + oh_cu
+    c16_split = pool4(c8) + oh_split
+    c16_self = costs[16] + oh_cu
+    take16 = c16_self <= c16_split                     # [B, R16, C16]
+    c16 = jnp.minimum(c16_self, c16_split)
+
+    c32_split = pool4(c16) + oh_split
+    c32_self = costs[32] + oh_cu
+    take32 = c32_self <= c32_split
+    c32 = jnp.minimum(c32_self, c32_split)
+
+    c64_split = pool4(c32) + oh_split
+    c64_self = costs[64] + 4 * oh_cu                   # codes as 4 TU32s
+    take64 = c64_self <= c64_split
+
+    # labels per 16x16 block: 0/1/2/3 by the nesting decisions.
+    def up2(x):
+        return jnp.repeat(jnp.repeat(x, 2, axis=-2), 2, axis=-1)
+
+    lab = jnp.where(up2(up2(take64)), 0,
+                    jnp.where(up2(take32), 1, jnp.where(take16, 2, 3)))
+    b, r16, c16n = lab.shape
+    rc, cc = r16 // 4, c16n // 4
+    lab = lab.reshape(b, rc, 4, cc, 4).transpose(0, 1, 3, 2, 4)
+    return lab.reshape(b, rc * cc, 16).astype(jnp.int32)
 
 
 # ---------------------------------------------------------------------------
@@ -312,21 +457,38 @@ def _block16_schedule():
 
 
 class FrameEncoder:
-    """Encodes batches of frames of one fixed geometry at one QP."""
+    """Encodes batches of frames of one fixed geometry at one QP.
 
-    def __init__(self, h: int, w: int, qp: int, *, deblock: bool = True):
+    search selects the partition source:
+      * "cnn"  — the CU quadtree is the CNN's pruned prediction, exactly the
+        reference pipeline's gate semantics (TEncCu.cpp:509-520); this is
+        the fast path the labels argument feeds.
+      * "rd"   — full RD quadtree search: per-depth dense RD costs compared
+        bottom-up like HM's merged-children-vs-parent decision
+        (TEncCu.cpp:858-867,1084); labels are ignored (the unpruned-anchor
+        capability, TAppEncoder_original).
+    """
+
+    def __init__(self, h: int, w: int, qp: int, *, deblock: bool = True,
+                 search: str = "cnn"):
         assert h % 8 == 0 and w % 8 == 0, "HEVC requires dims % minCU == 0"
+        assert search in ("cnn", "rd")
         self.geom = Geometry(h, w)
         self.qp = qp
         self.qp_c = rom.chroma_qp_from_luma(qp)
         self.deblock = deblock
+        self.search = search
         self._encode = jax.jit(self._encode_impl)
 
     # -- public API --------------------------------------------------------
 
-    def encode(self, y, u, v, labels):
-        """y [B,H,W], u/v [B,H/2,W/2] uint8/int32; labels [B, rc*cc, 16].
-        Returns a dict of numpy arrays (see _encode_impl)."""
+    def encode(self, y, u, v, labels=None):
+        """y [B,H,W], u/v [B,H/2,W/2] uint8/int32; labels [B, rc*cc, 16]
+        (required for search="cnn"). Returns a dict of numpy arrays."""
+        if labels is None:
+            assert self.search == "rd", "cnn search needs labels"
+            labels = np.zeros((np.shape(y)[0], self.geom.rc * self.geom.cc,
+                               16), np.int32)
         out = self._encode(jnp.asarray(y, jnp.int32), jnp.asarray(u, jnp.int32),
                            jnp.asarray(v, jnp.int32),
                            jnp.asarray(labels, jnp.int32))
@@ -341,32 +503,45 @@ class FrameEncoder:
         up = pad_plane(u, g.hp // 2, g.wp // 2)
         vp = pad_plane(v, g.hp // 2, g.wp // 2)
 
-        # Partition from CNN labels + implicit boundary splits.
+        # Stage 1: dense RD mode decision per depth (luma, then chroma).
+        modes, costs = _dense_mode_decision(yp, g, self.qp)
+        csel, cmodes, ccosts = _dense_chroma_decision(
+            up, vp, g, self.qp, self.qp_c, modes)
+
+        # Partition: CNN labels (pruned-search gate semantics) or the RD
+        # quadtree decision; plus implicit boundary splits either way.
+        if self.search == "rd":
+            total = {n: costs[n] + ccosts[n] for n in costs}
+            labels = _rd_split_labels(total, self.qp)
         bh, bw = g.bh_bw
         labels_rc = labels.reshape(b, g.rc, g.cc, 16)
         depth8, coded8 = ctu.derive_slot_depths(
             labels_rc, jnp.asarray(bh)[None, :, None],
             jnp.asarray(bw)[None, None, :])          # [B, rc, cc, 8, 8]
 
-        # Stage 1: dense mode decision per depth.
-        modes = _dense_mode_decision(yp, g)
-
         # Per-slot mode map (the CU's luma mode at every 8x8 slot), for the
         # entropy stage's quadtree walk and MPM derivation.
         def up2(x, k):  # [B, rc, cc, m, m] -> [B, rc, cc, 8, 8]
             return jnp.repeat(jnp.repeat(x, k, axis=-2), k, axis=-1)
 
-        mode_slot = jnp.where(
-            depth8 == 0, modes[64][..., None, None],
-            jnp.where(depth8 == 1, up2(to_blocked(modes[32], 2), 4),
-                      jnp.where(depth8 == 2, up2(to_blocked(modes[16], 4), 2),
-                                to_blocked(modes[8], 8))))
+        def slot_map(per_size):
+            return jnp.where(
+                depth8 == 0, per_size[64][..., None, None],
+                jnp.where(depth8 == 1, up2(to_blocked(per_size[32], 2), 4),
+                          jnp.where(depth8 == 2,
+                                    up2(to_blocked(per_size[16], 4), 2),
+                                    to_blocked(per_size[8], 8))))
+
+        mode_slot = slot_map(modes)
+        cmode_slot = slot_map(cmodes)
+        csel_slot = slot_map(csel)
 
         # Stage 2: wavefront reconstruction.
-        out = self._reconstruct(yp, up, vp, modes, depth8, coded8)
+        out = self._reconstruct(yp, up, vp, modes, cmode_slot, depth8, coded8)
         out["depth8"] = from_blocked(depth8)
         out["coded8"] = from_blocked(coded8)
         out["mode8"] = from_blocked(mode_slot)
+        out["csel8"] = from_blocked(csel_slot)
 
         # In-loop filters (frame post-pass; intra prediction reads the
         # pre-filter recon, exactly as HM applies them per picture after
@@ -382,7 +557,7 @@ class FrameEncoder:
             out["recon_v"] = fv[:, : g.h // 2, : g.w // 2]
         return out
 
-    def _reconstruct(self, yp, up, vp, modes, depth8, coded8):
+    def _reconstruct(self, yp, up, vp, modes, cmode_slot, depth8, coded8):
         g = self.geom
         b = yp.shape[0]
         act_r, act_c, act_m = g.wavefront
@@ -447,6 +622,7 @@ class FrameEncoder:
             mm32 = gath(m32)
             mm16 = gath(m16)
             mm8 = gath(m8)
+            cm8 = gath(cmode_slot)                     # [BA, 8, 8]
 
             ctu_y = (ri * 64).reshape(ba)
             ctu_x = (ci * 64).reshape(ba)
@@ -471,7 +647,8 @@ class FrameEncoder:
                 return jax.lax.dynamic_slice(
                     arr2d, (0, sy, sx), (arr2d.shape[0], 1, 1))[:, 0, 0]
 
-            def do_tu(st, mode, fire, oy, ox, size, av_z, av_zc, sy, sx):
+            def do_tu(st, mode, cmode, fire, oy, ox, size, av_z, av_zc,
+                      sy, sx):
                 ext_y, ext_c, vy, vc, cy8, cc8 = st
                 fire = fire & mk_flat
                 fire2 = jnp.tile(fire, 2)
@@ -480,7 +657,7 @@ class FrameEncoder:
                     is_luma=True, ctu_yx=(ctu_y, ctu_x), frame_hw=(g.h, g.w),
                     span=64)
                 ext_c, vc, cbf_c = _tu_step_dyn(
-                    ext_c, vc, ouv, jnp.tile(mode, 2), fire2, oy // 2,
+                    ext_c, vc, ouv, jnp.tile(cmode, 2), fire2, oy // 2,
                     ox // 2, size // 2, self.qp_c, av_zc, is_luma=False,
                     ctu_yx=(ctu_yc2, ctu_xc2), frame_hw=(g.h // 2, g.w // 2),
                     span=32)
@@ -502,12 +679,14 @@ class FrameEncoder:
                 # TU32 (fires only at the quadrant-leader block).
                 m32s = pick(mm32, ty // 32, tx // 32)
                 mode_a = jnp.where(d_t == 0, mm64, m32s)
+                cmode_a = pick(cm8, sy, sx)
                 fire_a = is_q & (d_t <= 1) & coded_t
-                st = do_tu(st, mode_a, fire_a, ty, tx, 32, av32, av32c,
-                           sy, sx)
+                st = do_tu(st, mode_a, cmode_a, fire_a, ty, tx, 32,
+                           av32, av32c, sy, sx)
                 # TU16.
                 mode_b = pick(mm16, ty // 16, tx // 16)
-                st = do_tu(st, mode_b, (d_t == 2) & coded_t, ty, tx, 16,
+                st = do_tu(st, mode_b, pick(cm8, sy, sx),
+                           (d_t == 2) & coded_t, ty, tx, 16,
                            av16, av16c, sy, sx)
                 # TU8 x4 (z-order within the block).
                 for e in range(4):
@@ -516,7 +695,8 @@ class FrameEncoder:
                     d_e = pick(d8, esy, esx)
                     coded_e = pick(c8, esy, esx)
                     mode_e = pick(mm8, esy, esx)
-                    st = do_tu(st, mode_e, (d_e == 3) & coded_e, ey, ex, 8,
+                    st = do_tu(st, mode_e, pick(cm8, esy, esx),
+                               (d_e == 3) & coded_e, ey, ex, 8,
                                av8m[e], av8c[e], esy, esx)
                 return st, None
 

@@ -27,6 +27,7 @@ FPS = 30.0
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=8)
+    ap.add_argument("--modes", default="cnn,rd")
     ap.add_argument("--out", default=os.path.join(ROOT, "RD_MEASURED.json"))
     args = ap.parse_args()
 
@@ -49,42 +50,55 @@ def main():
     labels = np.asarray(
         convnet2.predict_batch_labels(params, y, u, v, h, w))
 
-    points = []
-    for qp in QPS:
-        enc = FrameEncoder(h, w, qp)
-        out = enc.encode(y, u, v, labels)
-        cfg = headers.StreamConfig(width=w, height=h, qp=qp)
-        t0 = time.time()
-        stream = streamlib.encode_stream(cfg, [out])
-        dt = time.time() - t0
-        bits = len(stream) * 8
-        py = metrics.psnr(y, out["recon_y"])
-        pu = metrics.psnr(u, out["recon_u"])
-        pv = metrics.psnr(v, out["recon_v"])
-        kbps = bits * FPS / args.frames / 1000.0
-        points.append(dict(qp=qp, bitrate_kbps=round(kbps, 2),
-                           psnr_y=round(py, 4), psnr_u=round(pu, 4),
-                           psnr_v=round(pv, 4)))
-        print(f"QP {qp}: {kbps:9.2f} kbps  Y {py:7.4f}  U {pu:7.4f} "
-              f"V {pv:7.4f}  (entropy {dt:.2f}s)")
-
     result = {"clip": {"w": w, "h": h, "frames": args.frames,
-                       "generator": "bench.synth_clip(seed=0)"},
-              "rd_test": points}
+                       "generator": "bench.synth_clip(seed=0)"}}
 
-    mpath = os.path.join(ROOT, "BASELINE_MEASURED.json")
-    if os.path.exists(mpath):
-        with open(mpath) as f:
-            anchor = json.load(f)["rd_anchor"]
-        ra = [p["bitrate_kbps"] for p in anchor]
-        pa = [p["psnr_y"] for p in anchor]
+    for search in args.modes.split(","):
+        points = []
+        for qp in QPS:
+            enc = FrameEncoder(h, w, qp, search=search)
+            out = enc.encode(y, u, v, labels)
+            cfg = headers.StreamConfig(width=w, height=h, qp=qp)
+            t0 = time.time()
+            stream = streamlib.encode_stream(cfg, [out])
+            dt = time.time() - t0
+            bits = len(stream) * 8
+            py = metrics.psnr(y, out["recon_y"])
+            pu = metrics.psnr(u, out["recon_u"])
+            pv = metrics.psnr(v, out["recon_v"])
+            kbps = bits * FPS / args.frames / 1000.0
+            points.append(dict(qp=qp, bitrate_kbps=round(kbps, 2),
+                               psnr_y=round(py, 4), psnr_u=round(pu, 4),
+                               psnr_v=round(pv, 4)))
+            print(f"[{search}] QP {qp}: {kbps:9.2f} kbps  Y {py:7.4f}  "
+                  f"U {pu:7.4f} V {pv:7.4f}  (entropy {dt:.2f}s)")
+        result[f"rd_test_{search}"] = points
+        if search == "cnn":
+            result["rd_test"] = points  # back-compat key
+
         rt = [p["bitrate_kbps"] for p in points]
         pt = [p["psnr_y"] for p in points]
-        bdr = metrics.bd_rate(ra, pa, rt, pt)
-        bdp = metrics.bd_psnr(ra, pa, rt, pt)
-        result["bd_rate_pct_vs_hm_anchor"] = round(bdr, 3)
-        result["bd_psnr_db_vs_hm_anchor"] = round(bdp, 4)
-        print(f"BD-rate vs HM anchor: {bdr:+.2f}%   BD-PSNR: {bdp:+.3f} dB")
+        for tag, path, key in (
+                ("hm_anchor", "BASELINE_MEASURED.json", "rd_anchor"),
+                ("pruned_hm", "PRUNED_HM_MEASURED.json", "rd_pruned_hm")):
+            mpath = os.path.join(ROOT, path)
+            if not os.path.exists(mpath):
+                continue
+            with open(mpath) as f:
+                anchor = json.load(f)[key]
+            ra = [p["bitrate_kbps"] for p in anchor]
+            pa = [p["psnr_y"] for p in anchor]
+            bdr = metrics.bd_rate(ra, pa, rt, pt)
+            bdp = metrics.bd_psnr(ra, pa, rt, pt)
+            result[f"bd_rate_pct_{search}_vs_{tag}"] = round(bdr, 3)
+            result[f"bd_psnr_db_{search}_vs_{tag}"] = round(bdp, 4)
+            print(f"[{search}] BD-rate vs {tag}: {bdr:+.2f}%   "
+                  f"BD-PSNR: {bdp:+.3f} dB")
+    if "bd_rate_pct_cnn_vs_hm_anchor" in result:
+        result["bd_rate_pct_vs_hm_anchor"] = \
+            result["bd_rate_pct_cnn_vs_hm_anchor"]
+        result["bd_psnr_db_vs_hm_anchor"] = \
+            result["bd_psnr_db_cnn_vs_hm_anchor"]
 
     with open(args.out, "w") as f:
         json.dump(result, f, indent=1)
