@@ -376,7 +376,7 @@ def _zorder_avail_np(oy: int, ox: int, n: int, span: int) -> np.ndarray:
 
 
 def _tu_step_dyn(ext, levels, orig, mode, fire, oy, ox, n: int, qp, av_z, *,
-                 is_luma, ctu_yx, frame_hw, span: int):
+                 is_luma, ctu_yx, frame_hw, span: int, rdoq_lam: float = 0.0):
     """One masked TU at traced origin (oy, ox): predict -> transform ->
     quant -> dequant -> reconstruct, as dynamic slices + MXU matmuls.
 
@@ -411,7 +411,10 @@ def _tu_step_dyn(ext, levels, orig, mode, fire, oy, ox, n: int, qp, av_z, *,
     res = orig_blk - pred
     log2 = int(np.log2(n))
     coef = transforms.forward_transform(res, log2)
-    lvl = quant.quantize(coef, log2, qp)
+    if rdoq_lam > 0.0:
+        lvl = quant.quantize_rdoq(coef, log2, qp, rdoq_lam)
+    else:
+        lvl = quant.quantize(coef, log2, qp)
     cbf = jnp.any(lvl != 0, axis=(-2, -1))
     deq = quant.dequantize(lvl, log2, qp)
     rinv = transforms.inverse_transform(deq, log2)
@@ -470,7 +473,7 @@ class FrameEncoder:
     """
 
     def __init__(self, h: int, w: int, qp: int, *, deblock: bool = True,
-                 search: str = "cnn"):
+                 search: str = "cnn", rdoq: bool = True):
         assert h % 8 == 0 and w % 8 == 0, "HEVC requires dims % minCU == 0"
         assert search in ("cnn", "rd")
         self.geom = Geometry(h, w)
@@ -478,6 +481,11 @@ class FrameEncoder:
         self.qp_c = rom.chroma_qp_from_luma(qp)
         self.deblock = deblock
         self.search = search
+        self.rdoq_lam = rate.lambda_rd(qp) if rdoq else 0.0
+        # chroma RDOQ: distortion is weighted by w_c in the RD cost, so the
+        # effective per-component λ is λ / w_c (HM's chroma lambda).
+        self.rdoq_lam_c = (self.rdoq_lam
+                           / rate.chroma_dist_weight(qp, self.qp_c))
         self._encode = jax.jit(self._encode_impl)
 
     # -- public API --------------------------------------------------------
@@ -655,12 +663,12 @@ class FrameEncoder:
                 ext_y, vy, cbf_l = _tu_step_dyn(
                     ext_y, vy, oyl, mode, fire, oy, ox, size, self.qp, av_z,
                     is_luma=True, ctu_yx=(ctu_y, ctu_x), frame_hw=(g.h, g.w),
-                    span=64)
+                    span=64, rdoq_lam=self.rdoq_lam)
                 ext_c, vc, cbf_c = _tu_step_dyn(
                     ext_c, vc, ouv, jnp.tile(cmode, 2), fire2, oy // 2,
                     ox // 2, size // 2, self.qp_c, av_zc, is_luma=False,
                     ctu_yx=(ctu_yc2, ctu_xc2), frame_hw=(g.h // 2, g.w // 2),
-                    span=32)
+                    span=32, rdoq_lam=self.rdoq_lam_c)
                 cy8 = jax.lax.dynamic_update_slice(
                     cy8, jnp.where(fire, cbf_l,
                                    pick(cy8, sy, sx))[:, None, None],

@@ -287,6 +287,8 @@ CNU = 154
 
 CTX_INIT = {
     # name: [I-row, P-row, B-row]
+    "sao_merge": [[153], [153], [153]],
+    "sao_type_idx": [[200], [185], [160]],
     "split_cu_flag": [[139, 141, 157], [107, 139, 126], [107, 139, 126]],
     "cu_transquant_bypass": [[154], [154], [154]],
     "part_mode": [[184, CNU, CNU, CNU], [154, 139, 154, 154], [154, 139, 154, 154]],
