@@ -54,7 +54,8 @@ class Decoder:
         w, h = self.sps["width"], self.sps["height"]
         cfg = headers.StreamConfig(
             width=w, height=h, qp=sh["qp"],
-            strong_intra_smoothing=self.sps["strong_intra_smoothing"])
+            strong_intra_smoothing=self.sps["strong_intra_smoothing"],
+            sao=self.sps["sao"])
         sd = SliceDecoder(cfg, rbsp, sh["data_offset"]).decode()
 
         hp, wp = sd.rc * 64, sd.cc * 64
@@ -75,6 +76,8 @@ class Decoder:
         if not self.pps.get("deblock_disabled", True):
             ry, ru, rv = refimpl.deblock_frame_np(
                 ry, ru, rv, sd.depth8[: h // 8, : w // 8], sh["qp"], h, w)
+        if sd.sao is not None:
+            ry, ru, rv = refimpl.sao_frame_np(ry, ru, rv, sd.sao, h, w)
         self.frames.append((ry, ru, rv))
 
 
@@ -96,6 +99,8 @@ def encode_stream(cfg: headers.StreamConfig, frames: list[dict],
     out += bitio.nal_unit(headers.NAL_SPS, headers.write_sps(cfg))
     out += bitio.nal_unit(headers.NAL_PPS, headers.write_pps(cfg))
     for fr in frames:
+        assert cfg.sao == ("sao_type" in fr), \
+            "cfg.sao must match the encoder's sao setting"
         b = fr["depth8"].shape[0]
         for i in range(b):
             if use_native:

@@ -33,6 +33,7 @@ class StreamConfig:
     sign_data_hiding: bool = False
     max_tu_depth_intra: int = 0
     deblock: bool = True
+    sao: bool = True
 
 
 def _profile_tier_level(bw: BitWriter):
@@ -106,7 +107,7 @@ def write_sps(cfg: StreamConfig) -> bytes:
     bw.ue(cfg.max_tu_depth_intra)  # max_transform_hierarchy_depth_intra
     bw.flag(0)            # scaling_list_enabled_flag
     bw.flag(0)            # amp_enabled_flag
-    bw.flag(0)            # sample_adaptive_offset_enabled_flag
+    bw.flag(1 if cfg.sao else 0)  # sample_adaptive_offset_enabled_flag
     bw.flag(0)            # pcm_enabled_flag
     bw.ue(0)              # num_short_term_ref_pic_sets
     bw.flag(0)            # long_term_ref_pics_present_flag
@@ -203,12 +204,15 @@ def write_slice_header(cfg: StreamConfig) -> BitWriter:
     bw.flag(0)            # no_output_of_prior_pics_flag (IRAP)
     bw.ue(0)              # slice_pic_parameter_set_id
     bw.ue(2)              # slice_type = I
+    if cfg.sao:
+        bw.flag(1)        # slice_sao_luma_flag
+        bw.flag(1)        # slice_sao_chroma_flag
     bw.se(cfg.qp - 26)    # slice_qp_delta
     # deblocking: override disabled -> slice inherits the PPS setting.
     # slice_loop_filter_across_slices_enabled_flag (7.3.6.1) is present
     # when pps_loop_filter_across_slices_enabled_flag=1 (we always set it)
     # and any in-loop filter is active for this slice.
-    if cfg.deblock:
+    if cfg.deblock or cfg.sao:
         bw.flag(1)        # slice_loop_filter_across_slices_enabled_flag
     bw.u(1, 1)            # byte_alignment: alignment_bit_equal_to_one
     bw.align_zero()

@@ -398,3 +398,64 @@ def deblock_frame_np(y, u, v, depth8, qp, h, w, bd=8):
     _deblock_chroma_edges(vt, d8t, qp_c, w // 2, h // 2, bd)
     return (np.ascontiguousarray(yt.T), np.ascontiguousarray(ut.T),
             np.ascontiguousarray(vt.T))
+
+
+# ---------------------------------------------------------------------------
+# SAO applier (8.7.3) — scalar/numpy, mirrors ops/sao.apply_sao.
+# ---------------------------------------------------------------------------
+
+_SAO_EO_NEIGHBORS = ((0, 1), (1, 0), (1, 1), (1, -1))
+
+
+def _sao_plane_np(plane, sao, comp, h, w, span, bd=8):
+    """Apply one component's SAO params in place. plane [H, W] (unpadded,
+    exactly h x w); sao = dict of type/eo/bp/off per-CTU arrays."""
+    tix = 0 if comp == 0 else 1
+    out = plane.copy()
+    maxv = (1 << bd) - 1
+    rc, cc = sao["type"].shape[:2]
+    for r in range(rc):
+        for c in range(cc):
+            typ = int(sao["type"][r, c, tix])
+            if typ == 0:
+                continue
+            y0, x0 = r * span, c * span
+            y1, x1 = min(y0 + span, h), min(x0 + span, w)
+            if y0 >= h or x0 >= w:
+                continue
+            offs = sao["off"][r, c, comp]
+            blk = plane[y0: y1, x0: x1].astype(np.int64)
+            if typ == 1:  # band offset
+                bp = int(sao["bp"][r, c, comp])
+                band = blk >> (bd - 5)
+                idx = band - bp
+                sel = (idx >= 0) & (idx < 4)
+                delta = np.where(sel, offs[np.clip(idx, 0, 3)], 0)
+            else:  # edge offset
+                dy, dx = _SAO_EO_NEIGHBORS[int(sao["eo"][r, c, tix])]
+                delta = np.zeros_like(blk)
+                for yy in range(blk.shape[0]):
+                    for xx in range(blk.shape[1]):
+                        py, px = y0 + yy, x0 + xx
+                        ay, ax = py - dy, px - dx
+                        by, bx = py + dy, px + dx
+                        if not (0 <= ay < h and 0 <= ax < w
+                                and 0 <= by < h and 0 <= bx < w):
+                            continue
+                        p = int(plane[py, px])
+                        s = (int(np.sign(p - int(plane[ay, ax])))
+                             + int(np.sign(p - int(plane[by, bx]))))
+                        cat = {-2: 1, -1: 2, 0: 0, 1: 3, 2: 4}[s]
+                        if cat:
+                            delta[yy, xx] = offs[cat - 1]
+            out[y0: y1, x0: x1] = np.clip(blk + delta, 0, maxv)
+    plane[:] = out
+    return plane
+
+
+def sao_frame_np(y, u, v, sao, h, w, bd=8):
+    """Apply decoded SAO params to a frame (after deblocking), in place."""
+    _sao_plane_np(y, sao, 0, h, w, 64, bd)
+    _sao_plane_np(u, sao, 1, h // 2, w // 2, 32, bd)
+    _sao_plane_np(v, sao, 2, h // 2, w // 2, 32, bd)
+    return y, u, v

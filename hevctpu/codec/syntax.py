@@ -137,6 +137,10 @@ class SliceEncoder(_Walker):
                        2: frame["levels_v"][frame_idx]}
         self.csel8 = (frame["csel8"][frame_idx] if "csel8" in frame
                       else np.full_like(self.depth8, 4))
+        self.sao = None
+        if cfg.sao:
+            self.sao = {k: frame["sao_" + k][frame_idx]
+                        for k in ("type", "eo", "bp", "off")}
 
     def encode(self) -> bytes:
         bw = headers.write_slice_header(self.cfg)
@@ -145,12 +149,48 @@ class SliceEncoder(_Walker):
         n_ctu = self.rc * self.cc
         for a in range(n_ctu):
             r, c = divmod(a, self.cc)
+            if self.sao is not None:
+                self._sao_params(r, c)
             self._quadtree(64 * c, 64 * r, 6)
             self.c.encode_terminate(1 if a == n_ctu - 1 else 0)
         # terminate(1) flushed the engine, and the flush's final written bit
         # is the rbsp_stop_one_bit (9.3.4.3.5 note); only zero-align remains.
         bw.align_zero()
         return bw.data()
+
+    # -- SAO (7.3.8.3; binarizations 9.3.3) --------------------------------
+
+    def _sao_params(self, r, c):
+        """sao() for one CTU: no merges (we always signal new params when a
+        neighbor exists), then per-component type/offsets."""
+        if c > 0:
+            self.c.encode_bin(self.ctx("sao_merge", 0), 0)  # merge_left
+        if r > 0:
+            self.c.encode_bin(self.ctx("sao_merge", 0), 0)  # merge_up
+        for cidx in range(3):
+            tix = 0 if cidx == 0 else 1
+            typ = int(self.sao["type"][r, c, tix])
+            if cidx < 2:  # sao_type_idx_luma / _chroma (TR cMax=2)
+                self.c.encode_bin(self.ctx("sao_type_idx", 0),
+                                  1 if typ else 0)
+                if typ:
+                    self.c.encode_bypass(typ - 1)  # 0 -> BO, 1 -> EO
+            if typ == 0:
+                continue
+            offs = [int(v) for v in self.sao["off"][r, c, cidx]]
+            for o in offs:
+                v = abs(o)
+                for _ in range(v):
+                    self.c.encode_bypass(1)
+                if v < 7:
+                    self.c.encode_bypass(0)
+            if typ == 1:  # BO
+                for o in offs:
+                    if o != 0:
+                        self.c.encode_bypass(1 if o < 0 else 0)
+                self.c.encode_bypass_bins(int(self.sao["bp"][r, c, cidx]), 5)
+            elif cidx < 2:  # EO class, coded for luma and once for chroma
+                self.c.encode_bypass_bins(int(self.sao["eo"][r, c, tix]), 2)
 
     # -- quadtree ----------------------------------------------------------
 
@@ -394,6 +434,13 @@ class SliceDecoder(_Walker):
                        1: np.zeros((self.rc * 32, self.cc * 32), np.int32),
                        2: np.zeros((self.rc * 32, self.cc * 32), np.int32)}
         self.tu_list = []  # (x0, y0, log2, comp, mode, cbf) in decode order
+        self.sao = None
+        if cfg.sao:
+            self.sao = {
+                "type": np.zeros((self.rc, self.cc, 2), np.int32),
+                "eo": np.zeros((self.rc, self.cc, 2), np.int32),
+                "bp": np.zeros((self.rc, self.cc, 3), np.int32),
+                "off": np.zeros((self.rc, self.cc, 3, 4), np.int32)}
 
     def decode(self):
         self.ctx = ContextSet(self.cfg.qp, init_type=0)
@@ -401,10 +448,46 @@ class SliceDecoder(_Walker):
         n_ctu = self.rc * self.cc
         for a in range(n_ctu):
             r, c = divmod(a, self.cc)
+            if self.sao is not None:
+                self._sao_params(r, c)
             self._quadtree(64 * c, 64 * r, 6)
             end = self.c.decode_terminate()
             assert end == (1 if a == n_ctu - 1 else 0), (a, end)
         return self
+
+    def _sao_params(self, r, c):
+        if c > 0:
+            assert self.c.decode_bin(self.ctx("sao_merge", 0)) == 0, \
+                "SAO merge unsupported by this decoder"
+        if r > 0:
+            assert self.c.decode_bin(self.ctx("sao_merge", 0)) == 0, \
+                "SAO merge unsupported by this decoder"
+        for cidx in range(3):
+            tix = 0 if cidx == 0 else 1
+            if cidx < 2:
+                typ = 0
+                if self.c.decode_bin(self.ctx("sao_type_idx", 0)):
+                    typ = 1 + self.c.decode_bypass()
+                self.sao["type"][r, c, tix] = typ
+            typ = int(self.sao["type"][r, c, tix])
+            if typ == 0:
+                continue
+            offs = []
+            for _ in range(4):
+                v = 0
+                while v < 7 and self.c.decode_bypass():
+                    v += 1
+                offs.append(v)
+            if typ == 1:  # BO
+                for i in range(4):
+                    if offs[i] and self.c.decode_bypass():
+                        offs[i] = -offs[i]
+                self.sao["bp"][r, c, cidx] = self.c.decode_bypass_bins(5)
+            else:  # EO: categories 3,4 negative
+                offs[2], offs[3] = -offs[2], -offs[3]
+                if cidx < 2:
+                    self.sao["eo"][r, c, tix] = self.c.decode_bypass_bins(2)
+            self.sao["off"][r, c, cidx] = offs
 
     def _quadtree(self, x0, y0, log2):
         if x0 >= self.w or y0 >= self.h:

@@ -86,6 +86,7 @@ def _load():
     lib.encode_slice_data.argtypes = [
         ctypes.c_int, ctypes.c_int, ctypes.c_int,
         i32p, i32p, i32p, u8p, u8p, u8p, i32p, i32p, i32p,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int]
     _lib = lib
     return _lib
@@ -113,10 +114,17 @@ def encode_slice_data(width: int, height: int, qp: int,
            for k in ("cbf_y", "cbf_u", "cbf_v")]
     lv = [np.ascontiguousarray(frame[k][i], np.int32)
           for k in ("levels_y", "levels_u", "levels_v")]
+    if "sao_type" in frame:
+        sa = [np.ascontiguousarray(frame["sao_" + k][i], np.int32)
+              for k in ("type", "eo", "bp", "off")]
+        sp = [a.ctypes.data_as(ctypes.c_void_p) for a in sa]
+    else:
+        sp = [None] * 4
     cap = lv[0].size * 8 + 65536
     out = (ctypes.c_uint8 * cap)()
     n = lib.encode_slice_data(width, height, qp, d8, m8, cs8, cbf[0], cbf[1],
-                              cbf[2], lv[0], lv[1], lv[2], out, cap)
+                              cbf[2], lv[0], lv[1], lv[2],
+                              sp[0], sp[1], sp[2], sp[3], out, cap)
     if n < 0:
         raise RuntimeError("native entropy: output overflow")
     return bytes(bytearray(out)[:n])

@@ -292,6 +292,12 @@ struct SliceEnc {
   const int32_t* csel8;
   const uint8_t* cbf[3];
   const int32_t* levels[3];
+  // SAO per-CTU params (null = SAO off): type/eo [rc*cc*2], bp [rc*cc*3],
+  // off [rc*cc*3*4], layouts as in ops/sao.py.
+  const int32_t* sao_type = nullptr;
+  const int32_t* sao_eo = nullptr;
+  const int32_t* sao_bp = nullptr;
+  const int32_t* sao_off = nullptr;
   BitWriter bw;
   Cabac c;
 
@@ -310,6 +316,7 @@ struct SliceEnc {
     int n_ctu = rc * cc;
     for (int a = 0; a < n_ctu; a++) {
       int r = a / cc, col = a % cc;
+      if (sao_type != nullptr) sao_params(r, col);
       quadtree(64 * col, 64 * r, 6);
       c.terminate(a == n_ctu - 1 ? 1 : 0);
     }
@@ -338,6 +345,35 @@ struct SliceEnc {
       quadtree(x0 + half, y0 + half, log2 - 1);
     } else {
       coding_unit(x0, y0, log2);
+    }
+  }
+
+  // sao() for one CTU (7.3.8.3; mirrors syntax.py SliceEncoder._sao_params)
+  void sao_params(int r, int col) {
+    if (col > 0) c.bin(CTX_SAO_MERGE, 0);
+    if (r > 0) c.bin(CTX_SAO_MERGE, 0);
+    int ctu = r * cc + col;
+    for (int cidx = 0; cidx < 3; cidx++) {
+      int tix = cidx == 0 ? 0 : 1;
+      int typ = sao_type[ctu * 2 + tix];
+      if (cidx < 2) {
+        c.bin(CTX_SAO_TYPE_IDX, typ ? 1 : 0);
+        if (typ) c.bypass(typ - 1);
+      }
+      if (typ == 0) continue;
+      const int32_t* offs = sao_off + (ctu * 3 + cidx) * 4;
+      for (int i = 0; i < 4; i++) {
+        int v = offs[i] < 0 ? -offs[i] : offs[i];
+        for (int k = 0; k < v; k++) c.bypass(1);
+        if (v < 7) c.bypass(0);
+      }
+      if (typ == 1) {  // BO
+        for (int i = 0; i < 4; i++)
+          if (offs[i] != 0) c.bypass(offs[i] < 0 ? 1 : 0);
+        c.bypass_bins(sao_bp[ctu * 3 + cidx], 5);
+      } else if (cidx < 2) {
+        c.bypass_bins(sao_eo[ctu * 2 + tix], 2);
+      }
     }
   }
 
@@ -628,9 +664,15 @@ int encode_slice_data(int width, int height, int qp, const int32_t* depth8,
                       const uint8_t* cbf_y, const uint8_t* cbf_u,
                       const uint8_t* cbf_v, const int32_t* levels_y,
                       const int32_t* levels_u, const int32_t* levels_v,
+                      const int32_t* sao_type, const int32_t* sao_eo,
+                      const int32_t* sao_bp, const int32_t* sao_off,
                       uint8_t* out, int out_cap) {
   SliceEnc enc(width, height, qp, depth8, mode8, csel8, cbf_y, cbf_u, cbf_v,
                levels_y, levels_u, levels_v);
+  enc.sao_type = sao_type;
+  enc.sao_eo = sao_eo;
+  enc.sao_bp = sao_bp;
+  enc.sao_off = sao_off;
   enc.encode();
   int n = static_cast<int>(enc.bw.bytes.size());
   if (n > out_cap) return -1;

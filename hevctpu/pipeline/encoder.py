@@ -34,7 +34,7 @@ import numpy as np
 
 from hevctpu import rom
 from hevctpu.ops import (cost, ctu, deblock, intra, intra_mm, quant, rate,
-                         rd, satd_fused, transforms)
+                         rd, sao, satd_fused, transforms)
 
 
 def _use_fused_satd() -> bool:
@@ -473,13 +473,14 @@ class FrameEncoder:
     """
 
     def __init__(self, h: int, w: int, qp: int, *, deblock: bool = True,
-                 search: str = "cnn", rdoq: bool = True):
+                 search: str = "cnn", rdoq: bool = True, sao: bool = True):
         assert h % 8 == 0 and w % 8 == 0, "HEVC requires dims % minCU == 0"
         assert search in ("cnn", "rd")
         self.geom = Geometry(h, w)
         self.qp = qp
         self.qp_c = rom.chroma_qp_from_luma(qp)
         self.deblock = deblock
+        self.sao = sao
         self.search = search
         self.rdoq_lam = rate.lambda_rd(qp) if rdoq else 0.0
         # chroma RDOQ: distortion is weighted by w_c in the RD cost, so the
@@ -553,13 +554,28 @@ class FrameEncoder:
 
         # In-loop filters (frame post-pass; intra prediction reads the
         # pre-filter recon, exactly as HM applies them per picture after
-        # compressSlice, TEncGOP.cpp:1742).
+        # compressSlice: deblock TEncGOP.cpp:1742, then SAO :1797 using
+        # the deblocked recon vs the original).
+        fy = pad_plane(out["recon_y"], g.hp, g.wp)
+        fu = pad_plane(out["recon_u"], g.hp // 2, g.wp // 2)
+        fv = pad_plane(out["recon_v"], g.hp // 2, g.wp // 2)
         if self.deblock:
-            ry = pad_plane(out["recon_y"], g.hp, g.wp)
-            ru = pad_plane(out["recon_u"], g.hp // 2, g.wp // 2)
-            rv = pad_plane(out["recon_v"], g.hp // 2, g.wp // 2)
             fy, fu, fv = deblock.deblock_frame(
-                ry, ru, rv, out["depth8"], self.qp, g.h, g.w)
+                fy, fu, fv, out["depth8"], self.qp, g.h, g.w)
+        if self.sao:
+            ys = sao.ctu_stats(yp, fy, g.h, g.w, 64)
+            us = sao.ctu_stats(up, fu, g.h // 2, g.w // 2, 32)
+            vs = sao.ctu_stats(vp, fv, g.h // 2, g.w // 2, 32)
+            st, se, sbp, soff = sao.decide_params(ys, us, vs, self.qp,
+                                                  self.qp_c)
+            fy = sao.apply_sao(fy, st, se, sbp, soff, 0, g.h, g.w, 64)
+            fu = sao.apply_sao(fu, st, se, sbp, soff, 1, g.h // 2,
+                               g.w // 2, 32)
+            fv = sao.apply_sao(fv, st, se, sbp, soff, 2, g.h // 2,
+                               g.w // 2, 32)
+            out["sao_type"], out["sao_eo"] = st, se
+            out["sao_bp"], out["sao_off"] = sbp, soff
+        if self.deblock or self.sao:
             out["recon_y"] = fy[:, : g.h, : g.w]
             out["recon_u"] = fu[:, : g.h // 2, : g.w // 2]
             out["recon_v"] = fv[:, : g.h // 2, : g.w // 2]
