@@ -41,6 +41,14 @@ def _add_encode(sub):
                    help="bypass the CNN, use a fixed CU depth")
     p.add_argument("--batch", type=int, default=4,
                    help="frames encoded per device step")
+    p.add_argument("--search", choices=["cnn", "rd"], default="cnn",
+                   help="partition source: CNN-pruned (reference pipeline) "
+                        "or full RD quadtree search (unpruned anchor)")
+    p.add_argument("--target-kbps", type=float,
+                   help="enable R-λ rate control at this bitrate "
+                        "(overrides -q per picture)")
+    p.add_argument("--adaptive-qp", action="store_true",
+                   help="apply the preanalysis frame-level QP offset")
 
 
 def _add_decode(sub):
@@ -54,6 +62,38 @@ def _add_bdrate(sub):
                        "with lines: bitrate_kbps,psnr_db")
     p.add_argument("anchor")
     p.add_argument("test")
+
+
+def _add_genlabels(sub):
+    p = sub.add_parser("genlabels", help="dump CU-depth training labels from "
+                       "the full-RD search (the DEBUG_CTU_DEPTH flow)")
+    p.add_argument("-i", "--input", required=True)
+    p.add_argument("--width", type=int, required=True)
+    p.add_argument("--height", type=int, required=True)
+    p.add_argument("-f", "--frames", type=int, default=0)
+    p.add_argument("-q", "--qp", type=int, default=32)
+    p.add_argument("-o", "--output", default="PartitionInfo.txt")
+
+
+def _add_train(sub):
+    p = sub.add_parser("train", help="train ConvNet2 on RD-search labels "
+                       "from a YUV clip")
+    p.add_argument("-i", "--input", required=True)
+    p.add_argument("--width", type=int, required=True)
+    p.add_argument("--height", type=int, required=True)
+    p.add_argument("-f", "--frames", type=int, default=0)
+    p.add_argument("-q", "--qp", type=int, default=32)
+    p.add_argument("--epochs", type=int, default=5)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--init", help="checkpoint to fine-tune from "
+                   "(.npz, orbax dir, or torch .pt)")
+    p.add_argument("-o", "--output", default="convnet2.npz")
+
+
+def _add_bytecount(sub):
+    p = sub.add_parser("bytecount", help="audit NAL unit sizes of an "
+                       "Annex-B stream (annexBbytecount)")
+    p.add_argument("bitstream")
 
 
 def cmd_encode(args) -> int:
@@ -75,14 +115,19 @@ def cmd_encode(args) -> int:
         seq = yuv.Sequence(args.input, args.width, args.height, args.fps,
                            args.frames)
 
-    y, u, v = yuv.read_yuv420(seq.path, seq.width, seq.height, seq.frames)
+    from hevctpu.pipeline import extract
+
+    y, u, v = extract.load_clip(seq.path, seq.width, seq.height, seq.frames)
     n = y.shape[0]
     print(f"hevctpu encode: {seq.path} {seq.width}x{seq.height} "
-          f"{n} frames QP {args.qp}")
+          f"{n} frames QP {args.qp} search={args.search}")
 
     t0 = time.time()
     rc, cc = -(-seq.height // 64), -(-seq.width // 64)
-    if args.fixed_depth is not None:
+    if args.search == "rd":
+        labels = None
+        t_cnn = 0.0
+    elif args.fixed_depth is not None:
         labels = np.full((n, rc * cc, 16), args.fixed_depth, np.int32)
         t_cnn = 0.0
     else:
@@ -95,12 +140,43 @@ def cmd_encode(args) -> int:
             for i in range(n)])
         t_cnn = time.time() - t0
 
-    enc = FrameEncoder(seq.height, seq.width, args.qp)
+    encoders: dict[int, FrameEncoder] = {}
+
+    def get_enc(qp: int) -> FrameEncoder:
+        if qp not in encoders:
+            encoders[qp] = FrameEncoder(seq.height, seq.width, qp,
+                                        search=args.search)
+        return encoders[qp]
+
+    ratec = None
+    if args.target_kbps:
+        from hevctpu.pipeline.ratectrl import RateController
+        ratec = RateController(args.target_kbps * 1000.0, seq.fps,
+                               seq.width, seq.height, n)
+
     frames_out = []
-    bsz = max(args.batch, 1)
+    # rate control / adaptive QP choose a QP per picture -> batch size 1;
+    # constant-QP runs batch for throughput.
+    bsz = 1 if (ratec or args.adaptive_qp) else max(args.batch, 1)
     for i in range(0, n, bsz):
         j = min(i + bsz, n)
-        frames_out.append(enc.encode(y[i:j], u[i:j], v[i:j], labels[i:j]))
+        qp = args.qp
+        if ratec is not None:
+            qp, _ = ratec.start_picture(ratec.complexity(y[i]))
+        elif args.adaptive_qp:
+            from hevctpu.pipeline.preanalysis import frame_qp_offset
+            qp = int(np.clip(args.qp + frame_qp_offset(y[i]), 0, 51))
+        out = get_enc(qp).encode(
+            y[i:j], u[i:j], v[i:j],
+            labels[i:j] if labels is not None else None)
+        out["qp"] = qp
+        if ratec is not None:
+            cfg1 = headers.StreamConfig(width=seq.width, height=seq.height,
+                                        qp=qp)
+            bits = (len(streamlib.encode_stream(cfg1, [out]))
+                    - len(streamlib.encode_stream(cfg1, []))) * 8
+            ratec.update(bits)
+        frames_out.append(out)
     t_enc = time.time() - t0
 
     cfg = headers.StreamConfig(width=seq.width, height=seq.height, qp=args.qp)
@@ -119,7 +195,7 @@ def cmd_encode(args) -> int:
             py, pu, pv = metrics.frame_psnrs(
                 y[k], u[k], v[k], fr["recon_y"][b], fr["recon_u"][b],
                 fr["recon_v"][b])
-            print(f"POC {k:4d} ( I-SLICE, QP {args.qp} ) "
+            print(f"POC {k:4d} ( I-SLICE, QP {fr.get('qp', args.qp)} ) "
                   f"[Y {py:7.4f} dB  U {pu:7.4f} dB  V {pv:7.4f} dB]")
             psnrs.append((py, pu, pv))
             ry_all.append(fr["recon_y"][b])
@@ -171,15 +247,71 @@ def cmd_bdrate(args) -> int:
     return 0
 
 
+def cmd_genlabels(args) -> int:
+    from hevctpu.pipeline import extract, labels
+
+    y, u, v = extract.load_clip(args.input, args.width, args.height,
+                                args.frames)
+    lab = labels.rd_ground_truth(y, u, v, args.qp)
+    labels.write_partition_info(args.output, lab, append=False)
+    print(f"wrote {lab.shape[0] * lab.shape[1]} CTU label lines "
+          f"-> {args.output}")
+    return 0
+
+
+def cmd_train(args) -> int:
+    from hevctpu.models import checkpoint, train
+    from hevctpu.pipeline import extract, labels
+
+    y, u, v = extract.load_clip(args.input, args.width, args.height,
+                                args.frames)
+    lab = labels.rd_ground_truth(y, u, v, args.qp)
+    x32, x64, digits = labels.make_dataset(
+        y.astype(np.int32), u.astype(np.int32), v.astype(np.int32), lab)
+    init = None
+    if args.init:
+        if args.init.endswith(".pt"):
+            from hevctpu.models import convnet2
+            init = convnet2.load_torch_params(args.init)
+        else:
+            init = checkpoint.load(args.init)
+    params, hist = train.train(x32, x64, digits, params=init,
+                               epochs=args.epochs, lr=args.lr)
+    checkpoint.save(args.output, params)
+    print(f"trained {len(hist)} epochs, final acc "
+          f"{hist[-1]['acc']:.3f} -> {args.output}")
+    return 0
+
+
+def cmd_bytecount(args) -> int:
+    from hevctpu import utils
+
+    with open(args.bitstream, "rb") as f:
+        stream = f.read()
+    rows = utils.annexb_bytecount(stream)
+    names = {19: "IDR_W_RADL", 32: "VPS", 33: "SPS", 34: "PPS",
+             39: "SEI_PREFIX", 40: "SEI_SUFFIX"}
+    for k, (t, payload, total) in enumerate(rows):
+        print(f"NAL {k:4d}  type {t:2d} {names.get(t, '?'):10s} "
+              f"payload {payload:7d}  total {total:7d}")
+    print(f"{len(rows)} NAL units, {sum(r[2] for r in rows)} bytes "
+          f"({len(stream)} in file)")
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="hevctpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
     _add_encode(sub)
     _add_decode(sub)
     _add_bdrate(sub)
+    _add_genlabels(sub)
+    _add_train(sub)
+    _add_bytecount(sub)
     args = ap.parse_args(argv)
     return {"encode": cmd_encode, "decode": cmd_decode,
-            "bdrate": cmd_bdrate}[args.cmd](args)
+            "bdrate": cmd_bdrate, "genlabels": cmd_genlabels,
+            "train": cmd_train, "bytecount": cmd_bytecount}[args.cmd](args)
 
 
 if __name__ == "__main__":

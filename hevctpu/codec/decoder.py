@@ -12,6 +12,8 @@ encoder kernels, and free of per-TU device dispatch.
 
 from __future__ import annotations
 
+import dataclasses
+
 import numpy as np
 
 from hevctpu import rom
@@ -101,14 +103,18 @@ def encode_stream(cfg: headers.StreamConfig, frames: list[dict],
     for fr in frames:
         assert cfg.sao == ("sao_type" in fr), \
             "cfg.sao must match the encoder's sao setting"
+        # rate control / adaptive QP: a batch may carry its own slice QP.
+        fcfg = cfg
+        if "qp" in fr and int(fr["qp"]) != cfg.qp:
+            fcfg = dataclasses.replace(cfg, qp=int(fr["qp"]))
         b = fr["depth8"].shape[0]
         for i in range(b):
             if use_native:
-                rbsp = headers.write_slice_header(cfg).data()
+                rbsp = headers.write_slice_header(fcfg).data()
                 rbsp += native.encode_slice_data(
-                    cfg.width, cfg.height, cfg.qp, fr, i)
+                    fcfg.width, fcfg.height, fcfg.qp, fr, i)
             else:
-                rbsp = SliceEncoder(cfg, fr, i).encode()
+                rbsp = SliceEncoder(fcfg, fr, i).encode()
             out += bitio.nal_unit(headers.NAL_IDR_W_RADL, rbsp)
             if "recon_y" in fr:
                 out += bitio.nal_unit(
