@@ -57,6 +57,7 @@ class Decoder:
         cfg = headers.StreamConfig(
             width=w, height=h, qp=sh["qp"],
             strong_intra_smoothing=self.sps["strong_intra_smoothing"],
+            sign_data_hiding=self.pps["sign_data_hiding"],
             sao=self.sps["sao"])
         sd = SliceDecoder(cfg, rbsp, sh["data_offset"]).decode()
 
@@ -112,7 +113,8 @@ def encode_stream(cfg: headers.StreamConfig, frames: list[dict],
             if use_native:
                 rbsp = headers.write_slice_header(fcfg).data()
                 rbsp += native.encode_slice_data(
-                    fcfg.width, fcfg.height, fcfg.qp, fr, i)
+                    fcfg.width, fcfg.height, fcfg.qp, fr, i,
+                    sbh=fcfg.sign_data_hiding)
             else:
                 rbsp = SliceEncoder(fcfg, fr, i).encode()
             out += bitio.nal_unit(headers.NAL_IDR_W_RADL, rbsp)

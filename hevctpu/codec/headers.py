@@ -30,7 +30,7 @@ class StreamConfig:
     height: int
     qp: int
     strong_intra_smoothing: bool = True
-    sign_data_hiding: bool = False
+    sign_data_hiding: bool = True
     max_tu_depth_intra: int = 0
     deblock: bool = True
     sao: bool = True

@@ -353,7 +353,13 @@ class SliceEncoder(_Walker):
             if first_g1 is not None:
                 self.c.encode_bin(self.ctx(name_g2, ctx_set),
                                   int(abs(int(coeffs[first_g1])) > 2))
-            for i in sig_rev:
+            # sign-data-hiding: the sign of the first-in-scan coefficient
+            # (last of sig_rev) is inferred from the CG's abs-sum parity
+            # when the nonzero span exceeds 3 (7.3.8.11; the encoder-side
+            # parity fix is ops/quant.sign_bit_hide).
+            hidden = (self.cfg.sign_data_hiding
+                      and sig_rev[0] - sig_rev[-1] > 3)
+            for i in (sig_rev[:-1] if hidden else sig_rev):
                 self.c.encode_bypass(1 if coeffs[i] < 0 else 0)
             rice = 0
             for k, i in enumerate(sig_rev):
@@ -648,8 +654,12 @@ class SliceDecoder(_Walker):
             gt2 = 0
             if first_g1 is not None:
                 gt2 = self.c.decode_bin(self.ctx(name_g2, ctx_set))
-            signs = [self.c.decode_bypass() for _ in sig_rev]
+            hidden = (self.cfg.sign_data_hiding
+                      and sig_rev[0] - sig_rev[-1] > 3)
+            signs = [self.c.decode_bypass()
+                     for _ in (sig_rev[:-1] if hidden else sig_rev)]
             rice = 0
+            vals = []
             for k, i in enumerate(sig_rev):
                 if k < 8 and not gt1_flags[i]:
                     v = 1
@@ -660,7 +670,11 @@ class SliceDecoder(_Walker):
                     v = base + self._decode_remaining(rice)
                     if v > (3 << rice):
                         rice = min(rice + 1, 4)
-                coeffs[i] = -v if signs[k] else v
+                vals.append(v)
+            if hidden:
+                signs.append(sum(vals) & 1)   # inferred sign (9.3.3.1 note)
+            for k, i in enumerate(sig_rev):
+                coeffs[i] = -vals[k] if signs[k] else vals[k]
         blk = coeffs  # scan-order vector -> block
         out = self.levels[comp]
         for i in range(n * n):

@@ -87,7 +87,7 @@ def _load():
         ctypes.c_int, ctypes.c_int, ctypes.c_int,
         i32p, i32p, i32p, u8p, u8p, u8p, i32p, i32p, i32p,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
-        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int]
+        ctypes.c_int, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int]
     _lib = lib
     return _lib
 
@@ -97,7 +97,7 @@ def available() -> bool:
 
 
 def encode_slice_data(width: int, height: int, qp: int,
-                      frame: dict, i: int) -> bytes:
+                      frame: dict, i: int, sbh: bool = True) -> bytes:
     """Serialize frame i's decision arrays to slice-data bytes.
 
     Byte-identical to codec/syntax.py SliceEncoder minus the slice header
@@ -124,7 +124,7 @@ def encode_slice_data(width: int, height: int, qp: int,
     out = (ctypes.c_uint8 * cap)()
     n = lib.encode_slice_data(width, height, qp, d8, m8, cs8, cbf[0], cbf[1],
                               cbf[2], lv[0], lv[1], lv[2],
-                              sp[0], sp[1], sp[2], sp[3], out, cap)
+                              sp[0], sp[1], sp[2], sp[3], int(sbh), out, cap)
     if n < 0:
         raise RuntimeError("native entropy: output overflow")
     return bytes(bytearray(out)[:n])

@@ -298,6 +298,7 @@ struct SliceEnc {
   const int32_t* sao_eo = nullptr;
   const int32_t* sao_bp = nullptr;
   const int32_t* sao_off = nullptr;
+  bool sbh = false;  // pps sign_data_hiding_enabled_flag
   BitWriter bw;
   Cabac c;
 
@@ -633,7 +634,10 @@ struct SliceEnc {
         int v = coeffs[i] < 0 ? -coeffs[i] : coeffs[i];
         c.bin(ctx_g2 + ctx_set, v > 2 ? 1 : 0);
       }
-      for (int k = 0; k < nsig; k++)
+      // sign-data-hiding: first-in-scan sign inferred from abs-sum parity
+      // when the nonzero span exceeds 3 (7.3.8.11).
+      bool hidden = sbh && (sig_rev[0] - sig_rev[nsig - 1] > 3);
+      for (int k = 0; k < (hidden ? nsig - 1 : nsig); k++)
         c.bypass(coeffs[sig_rev[k]] < 0 ? 1 : 0);
       int rice = 0;
       for (int k = 0; k < nsig; k++) {
@@ -666,13 +670,14 @@ int encode_slice_data(int width, int height, int qp, const int32_t* depth8,
                       const int32_t* levels_u, const int32_t* levels_v,
                       const int32_t* sao_type, const int32_t* sao_eo,
                       const int32_t* sao_bp, const int32_t* sao_off,
-                      uint8_t* out, int out_cap) {
+                      int sbh, uint8_t* out, int out_cap) {
   SliceEnc enc(width, height, qp, depth8, mode8, csel8, cbf_y, cbf_u, cbf_v,
                levels_y, levels_u, levels_v);
   enc.sao_type = sao_type;
   enc.sao_eo = sao_eo;
   enc.sao_bp = sao_bp;
   enc.sao_off = sao_off;
+  enc.sbh = sbh != 0;
   enc.encode();
   int n = static_cast<int>(enc.bw.bytes.size());
   if (n > out_cap) return -1;

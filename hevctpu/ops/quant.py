@@ -15,7 +15,10 @@ Everything is batched over TUs.
 
 from __future__ import annotations
 
+import functools
+
 import jax.numpy as jnp
+import numpy as np
 
 from hevctpu import rom
 
@@ -105,6 +108,97 @@ def quantize_rdoq(coef: jnp.ndarray, log2_size: int, qp: int, lam: float, *,
     take_rdoq = (full_j(lvl) <= full_j(hdq))[..., None, None]
     lvl = jnp.where(take_rdoq, lvl, hdq)
     return jnp.where(coef < 0, -lvl, lvl)
+
+
+@functools.lru_cache(maxsize=None)
+def _pos_in_cg() -> np.ndarray:
+    """[3, 4, 4] within-coefficient-group scan position (0..15) of each
+    (y, x) for diag / horizontal / vertical scans (H.265 6.5.3)."""
+    out = np.zeros((3, 4, 4), np.int32)
+    for s in range(3):
+        order = rom.scan_order(s, 4)
+        for i, (y, x) in enumerate(order):
+            out[s, y, x] = i
+    return out
+
+
+def scan_sel(mode: jnp.ndarray, log2_size: int, is_luma: bool) -> jnp.ndarray:
+    """Traced mode-dependent scan index (H.265 7.4.9.11; jnp twin of
+    rom.coef_scan_idx): 0=diag, 1=hor, 2=ver."""
+    if log2_size == 2 or (log2_size == 3 and is_luma):
+        ver = (mode >= 6) & (mode <= 14)
+        hor = (mode >= 22) & (mode <= 30)
+        return jnp.where(ver, 2, jnp.where(hor, 1, 0)).astype(jnp.int32)
+    return jnp.zeros(jnp.shape(mode), jnp.int32)
+
+
+def sign_bit_hide(lvl: jnp.ndarray, coef: jnp.ndarray, log2_size: int,
+                  qp: int, scan: jnp.ndarray, *,
+                  bit_depth: int = 8) -> jnp.ndarray:
+    """Encoder-side sign-data-hiding adjustment (TComTrQuant::
+    signBitHidingHDQ, TComTrQuant.cpp:991, vectorized over all TUs).
+
+    For each 4×4 coefficient group whose nonzero span in scan order exceeds
+    the SBH threshold (lastNZ - firstNZ > 3), the decoder infers the sign of
+    the first-in-scan nonzero coefficient from the parity of the group's
+    absolute sum; when the parity disagrees, nudge the ±1-cheapest
+    coefficient (by transform-domain distortion) so it agrees. Candidate
+    moves never change the group's first/last nonzero positions, so the
+    hide condition and hidden coefficient are stable.
+
+    lvl/coef [..., N, N] signed; scan [...] int32 per TU (0/1/2).
+    """
+    n = 1 << log2_size
+    nc = n // 4
+    pos3 = jnp.asarray(_pos_in_cg())                       # [3, 4, 4]
+    pos = pos3[scan]                                       # [..., 4, 4]
+
+    def cgv(x):  # [..., N, N] -> [..., nc, nc, 4, 4]
+        return x.reshape(*x.shape[:-2], nc, 4, nc, 4).swapaxes(-3, -2)
+
+    def uncgv(x):
+        return x.swapaxes(-3, -2).reshape(*x.shape[:-4], n, n)
+
+    lc = cgv(lvl)
+    absl = jnp.abs(lc)
+    nz = absl > 0
+    p = pos[..., None, None, :, :]                         # [..., 1, 1, 4, 4]
+    p = jnp.broadcast_to(p, lc.shape)
+    first = jnp.min(jnp.where(nz, p, 16), axis=(-2, -1))   # [..., nc, nc]
+    last = jnp.max(jnp.where(nz, p, -1), axis=(-2, -1))
+    hide = (last - first) > 3
+    sum_abs = absl.sum(axis=(-2, -1))
+    at_first = nz & (p == first[..., None, None])
+    first_neg = jnp.any(at_first & (lc < 0), axis=(-2, -1))
+    bad = hide & (((sum_abs & 1) == 1) != first_neg)
+
+    # candidate costs: transform-domain distortion delta of |l| ± 1.
+    absc = cgv(jnp.abs(coef)).astype(jnp.float32)
+
+    def err(a):
+        return jnp.square(absc - dequantize(a, log2_size, qp,
+                                            bit_depth=bit_depth)
+                          .astype(jnp.float32))
+
+    e0 = err(absl)
+    d_up = err(absl + 1) - e0
+    d_dn = err(jnp.maximum(absl - 1, 0)) - e0
+    interior = (p > first[..., None, None]) & (p < last[..., None, None])
+    up_ok = nz | interior
+    dn_ok = (absl >= 2) | ((absl == 1) & ~at_first
+                           & (p != last[..., None, None]))
+    inf = jnp.float32(np.inf)
+    flat = jnp.concatenate(
+        [jnp.where(up_ok, d_up, inf).reshape(*lc.shape[:-2], 16),
+         jnp.where(dn_ok, d_dn, inf).reshape(*lc.shape[:-2], 16)], axis=-1)
+    idx = jnp.argmin(flat, axis=-1)                        # [..., nc, nc]
+    onehot = idx[..., None] == jnp.arange(32)
+    up_m = onehot[..., :16].reshape(lc.shape) & bad[..., None, None]
+    dn_m = onehot[..., 16:].reshape(lc.shape) & bad[..., None, None]
+    sgn = jnp.where(lc != 0, jnp.sign(lc),
+                    jnp.where(cgv(coef) < 0, -1, 1)).astype(lc.dtype)
+    out = lc + jnp.where(up_m, sgn, 0) - jnp.where(dn_m, sgn, 0)
+    return uncgv(out)
 
 
 def dequantize(level: jnp.ndarray, log2_size: int, qp: int, *,

@@ -194,7 +194,8 @@ def _dense_costs(plane: jnp.ndarray, geom: Geometry, n: int,
         if qp is None:
             return cost.satd(preds, bk_c[..., None, :, :])    # [B,rows,C,35]
         log2 = int(np.log2(n))
-        rdc, _, _ = rd.mode_rd_costs(preds, bk_c, log2, qp, lam=lam)
+        rdc, _, _ = rd.mode_rd_costs(preds, bk_c, log2, qp, lam=lam,
+                                     dst=(is_luma and n == 4))
         return rdc
 
     if k == 1:
@@ -242,16 +243,18 @@ def _mpm_mode_bits(best: jnp.ndarray, lam: float) -> jnp.ndarray:
 
 
 def _dense_mode_decision(plane: jnp.ndarray, geom: Geometry, qp: int):
-    """RD-best mode + cost for every CU position at every depth.
+    """RD-best mode + cost for every CU/PU position at every depth.
 
     Returns (modes {n: [B, R, C] int32}, costs {n: [B, R, C] float32}) for
-    n in (64, 32, 16, 8). RD = transform-domain SSE + λ(residual bits +
+    n in (64, 32, 16, 8, 4). RD = transform-domain SSE + λ(residual bits +
     MPM-aware mode bits). The 64-CU entry pools its four 32x32 quadrants
-    per mode (a 64 CU codes as four 32x32 TUs — max TU is 32)."""
+    per mode (a 64 CU codes as four 32x32 TUs — max TU is 32); the 4 entry
+    is the per-PU cost of PART_NxN at depth 3 (4x4 DST TUs,
+    TEncCu.cpp:815-827)."""
     lam = rate.lambda_rd(qp)
     modes, costs = {}, {}
     rd32 = None
-    for n in (32, 16, 8):
+    for n in (32, 16, 8, 4):
         c = _dense_costs(plane, geom, n, qp, lam)
         # two-pass MPM: provisional argmin -> neighbor-aware mode bits.
         prov = jnp.argmin(c, axis=-1).astype(jnp.int32)
@@ -376,7 +379,8 @@ def _zorder_avail_np(oy: int, ox: int, n: int, span: int) -> np.ndarray:
 
 
 def _tu_step_dyn(ext, levels, orig, mode, fire, oy, ox, n: int, qp, av_z, *,
-                 is_luma, ctu_yx, frame_hw, span: int, rdoq_lam: float = 0.0):
+                 is_luma, ctu_yx, frame_hw, span: int, rdoq_lam: float = 0.0,
+                 sbh: bool = False, dst: bool = False):
     """One masked TU at traced origin (oy, ox): predict -> transform ->
     quant -> dequant -> reconstruct, as dynamic slices + MXU matmuls.
 
@@ -410,14 +414,17 @@ def _tu_step_dyn(ext, levels, orig, mode, fire, oy, ox, n: int, qp, av_z, *,
     orig_blk = jax.lax.dynamic_slice(orig, (0, oy, ox), (ba, n, n))
     res = orig_blk - pred
     log2 = int(np.log2(n))
-    coef = transforms.forward_transform(res, log2)
+    coef = transforms.forward_transform(res, log2, dst=dst)
     if rdoq_lam > 0.0:
         lvl = quant.quantize_rdoq(coef, log2, qp, rdoq_lam)
     else:
         lvl = quant.quantize(coef, log2, qp)
+    if sbh:
+        lvl = quant.sign_bit_hide(
+            lvl, coef, log2, qp, quant.scan_sel(mode, log2, is_luma))
     cbf = jnp.any(lvl != 0, axis=(-2, -1))
     deq = quant.dequantize(lvl, log2, qp)
-    rinv = transforms.inverse_transform(deq, log2)
+    rinv = transforms.inverse_transform(deq, log2, dst=dst)
     recon = jnp.clip(pred + rinv, 0, 255)
 
     fb = fire[:, None, None]
@@ -444,6 +451,7 @@ def _block16_schedule():
     av16c = np.zeros((16, 33), bool)
     av8 = np.zeros((16, 4, 33), bool)
     av8c = np.zeros((16, 4, 17), bool)
+    av4 = np.zeros((16, 4, 4, 17), bool)
     for t in range(16):
         qy, qx = ((t // 4) // 2) * 32, ((t // 4) % 2) * 32
         y, x = qy + ((t % 4) // 2) * 16, qx + ((t % 4) % 2) * 16
@@ -456,7 +464,10 @@ def _block16_schedule():
             ey, ex = y + (e // 2) * 8, x + (e % 2) * 8
             av8[t, e] = _zorder_avail_np(ey, ex, 8, 64)
             av8c[t, e] = _zorder_avail_np(ey // 2, ex // 2, 4, 32)
-    return ty, tx, is_q, av32, av32c, av16, av16c, av8, av8c
+            for q in range(4):  # NxN: the four 4x4 luma TUs, z-order
+                av4[t, e, q] = _zorder_avail_np(ey + (q // 2) * 4,
+                                                ex + (q % 2) * 4, 4, 64)
+    return ty, tx, is_q, av32, av32c, av16, av16c, av8, av8c, av4
 
 
 class FrameEncoder:
@@ -473,7 +484,8 @@ class FrameEncoder:
     """
 
     def __init__(self, h: int, w: int, qp: int, *, deblock: bool = True,
-                 search: str = "cnn", rdoq: bool = True, sao: bool = True):
+                 search: str = "cnn", rdoq: bool = True, sao: bool = True,
+                 sbh: bool = True, nxn: bool = False):
         assert h % 8 == 0 and w % 8 == 0, "HEVC requires dims % minCU == 0"
         assert search in ("cnn", "rd")
         self.geom = Geometry(h, w)
@@ -481,6 +493,8 @@ class FrameEncoder:
         self.qp_c = rom.chroma_qp_from_luma(qp)
         self.deblock = deblock
         self.sao = sao
+        self.sbh = sbh
+        self.nxn = nxn
         self.search = search
         self.rdoq_lam = rate.lambda_rd(qp) if rdoq else 0.0
         # chroma RDOQ: distortion is weighted by w_c in the RD cost, so the
@@ -514,6 +528,22 @@ class FrameEncoder:
 
         # Stage 1: dense RD mode decision per depth (luma, then chroma).
         modes, costs = _dense_mode_decision(yp, g, self.qp)
+
+        # PART_NxN vs PART_2Nx2N at depth 3 (the reference checks both at
+        # max depth, TEncCu.cpp:815-827): four 4x4 DST TUs with their own
+        # modes vs one 8x8 TU. Mode-signaling bits are inside both cost
+        # maps; the part_mode bin is coded either way.
+        def pool2x2(x):
+            b_, r_, c_ = x.shape
+            return x.reshape(b_, r_ // 2, 2, c_ // 2, 2).sum(axis=(2, 4))
+
+        if self.nxn:
+            c_nxn = pool2x2(costs[4])                  # [B, hp/8, wp/8]
+            nxn_map = c_nxn < costs[8]
+            costs[8] = jnp.minimum(costs[8], c_nxn)
+        else:
+            nxn_map = jnp.zeros_like(costs[8], bool)
+
         csel, cmodes, ccosts = _dense_chroma_decision(
             up, vp, g, self.qp, self.qp_c, modes)
 
@@ -545,12 +575,39 @@ class FrameEncoder:
         cmode_slot = slot_map(cmodes)
         csel_slot = slot_map(csel)
 
+        # NxN slots + per-4x4 luma mode map. The 4x4 map carries the CU mode
+        # everywhere except NxN CUs, where each PU has its own mode — it is
+        # the granularity MPM derivation works at (H.265 8.4.2).
+        nxn_slot = (to_blocked(nxn_map, 8) & (depth8 == 3)
+                    & coded8)                          # [B, rc, cc, 8, 8]
+        nxn8_frame = from_blocked(nxn_slot)            # [B, hp/8, wp/8]
+        mode8_frame = from_blocked(mode_slot)
+
+        def up2f(x):  # frame-layout upsample x2
+            return jnp.repeat(jnp.repeat(x, 2, axis=-2), 2, axis=-1)
+
+        mode4_frame = jnp.where(up2f(nxn8_frame), modes[4], up2f(mode8_frame))
+
+        # chroma DM for NxN CUs resolves against PU0's luma mode
+        # (H.265 8.4.3: the corresponding luma PU is the top-left one).
+        csel8_frame = from_blocked(csel_slot)
+        cmode8_frame = from_blocked(cmode_slot)
+        pu0 = modes[4][:, ::2, ::2]                    # [B, hp/8, wp/8]
+        cand = jnp.asarray(_CHROMA_LIST)[jnp.clip(csel8_frame, 0, 3)]
+        cand = jnp.where(cand == pu0, 34, cand)
+        resolved = jnp.where(csel8_frame == 4, pu0, cand)
+        cmode8_frame = jnp.where(nxn8_frame, resolved, cmode8_frame)
+        cmode_slot = to_blocked(cmode8_frame, 8)
+
         # Stage 2: wavefront reconstruction.
-        out = self._reconstruct(yp, up, vp, modes, cmode_slot, depth8, coded8)
+        out = self._reconstruct(yp, up, vp, modes, cmode_slot, depth8, coded8,
+                                nxn_slot, to_blocked(mode4_frame, 16))
         out["depth8"] = from_blocked(depth8)
         out["coded8"] = from_blocked(coded8)
-        out["mode8"] = from_blocked(mode_slot)
-        out["csel8"] = from_blocked(csel_slot)
+        out["mode8"] = mode8_frame
+        out["csel8"] = csel8_frame
+        out["nxn8"] = nxn8_frame
+        out["mode4"] = mode4_frame
 
         # In-loop filters (frame post-pass; intra prediction reads the
         # pre-filter recon, exactly as HM applies them per picture after
@@ -581,7 +638,8 @@ class FrameEncoder:
             out["recon_v"] = fv[:, : g.h // 2, : g.w // 2]
         return out
 
-    def _reconstruct(self, yp, up, vp, modes, cmode_slot, depth8, coded8):
+    def _reconstruct(self, yp, up, vp, modes, cmode_slot, depth8, coded8,
+                     nxn_slot, mode4_blk):
         g = self.geom
         b = yp.shape[0]
         act_r, act_c, act_m = g.wavefront
@@ -611,7 +669,7 @@ class FrameEncoder:
             return jnp.concatenate([row0, body, filler], axis=1)
 
         def diagonal_body(carry, xs):
-            (ry, ru, rv, lvy, lvu, lvv, cby, cbu, cbv) = carry
+            (ry, ru, rv, lvy, lvu, lvv, cby, cbu, cbv, cb4) = carry
             dr, dc, dm = xs
             bi = jnp.broadcast_to(jnp.arange(b)[:, None], (b, a))
             ri = jnp.broadcast_to(dr[None, :], (b, a))
@@ -647,6 +705,8 @@ class FrameEncoder:
             mm16 = gath(m16)
             mm8 = gath(m8)
             cm8 = gath(cmode_slot)                     # [BA, 8, 8]
+            nx8 = gath(nxn_slot)                       # [BA, 8, 8]
+            mm4 = gath(mode4_blk)                      # [BA, 16, 16]
 
             ctu_y = (ri * 64).reshape(ba)
             ctu_x = (ci * 64).reshape(ba)
@@ -660,6 +720,7 @@ class FrameEncoder:
             vc = jnp.zeros((2 * ba, 32, 32), jnp.int32)
             cy8 = jnp.zeros((ba, 8, 8), bool)
             cc8 = jnp.zeros((2 * ba, 8, 8), bool)
+            cy4 = jnp.zeros((ba, 16, 16), bool)
             mk_flat = mk.reshape(ba)
 
             # Z-order scan over the 16 16-pel blocks; each iteration runs a
@@ -671,32 +732,47 @@ class FrameEncoder:
                 return jax.lax.dynamic_slice(
                     arr2d, (0, sy, sx), (arr2d.shape[0], 1, 1))[:, 0, 0]
 
-            def do_tu(st, mode, cmode, fire, oy, ox, size, av_z, av_zc,
-                      sy, sx):
-                ext_y, ext_c, vy, vc, cy8, cc8 = st
-                fire = fire & mk_flat
-                fire2 = jnp.tile(fire, 2)
+            def do_tu(st, mode, cmode, fire_l, fire_c, oy, ox, size, av_z,
+                      av_zc, sy, sx):
+                ext_y, ext_c, vy, vc, cy8, cc8, cy4 = st
+                fire_l = fire_l & mk_flat
+                fire2 = jnp.tile(fire_c & mk_flat, 2)
                 ext_y, vy, cbf_l = _tu_step_dyn(
-                    ext_y, vy, oyl, mode, fire, oy, ox, size, self.qp, av_z,
+                    ext_y, vy, oyl, mode, fire_l, oy, ox, size, self.qp, av_z,
                     is_luma=True, ctu_yx=(ctu_y, ctu_x), frame_hw=(g.h, g.w),
-                    span=64, rdoq_lam=self.rdoq_lam)
+                    span=64, rdoq_lam=self.rdoq_lam, sbh=self.sbh)
                 ext_c, vc, cbf_c = _tu_step_dyn(
                     ext_c, vc, ouv, jnp.tile(cmode, 2), fire2, oy // 2,
                     ox // 2, size // 2, self.qp_c, av_zc, is_luma=False,
                     ctu_yx=(ctu_yc2, ctu_xc2), frame_hw=(g.h // 2, g.w // 2),
-                    span=32, rdoq_lam=self.rdoq_lam_c)
+                    span=32, rdoq_lam=self.rdoq_lam_c, sbh=self.sbh)
                 cy8 = jax.lax.dynamic_update_slice(
-                    cy8, jnp.where(fire, cbf_l,
+                    cy8, jnp.where(fire_l, cbf_l,
                                    pick(cy8, sy, sx))[:, None, None],
                     (0, sy, sx))
                 cc8 = jax.lax.dynamic_update_slice(
                     cc8, jnp.where(fire2, cbf_c,
                                    pick(cc8, sy, sx))[:, None, None],
                     (0, sy, sx))
-                return (ext_y, ext_c, vy, vc, cy8, cc8)
+                return (ext_y, ext_c, vy, vc, cy8, cc8, cy4)
+
+            def do_tu4(st, mode, fire, oy, ox, av_z, s4y, s4x):
+                """One NxN 4x4 luma TU (DST-VII) at static origin; cbf goes
+                to the 4x4-granularity plane."""
+                ext_y, ext_c, vy, vc, cy8, cc8, cy4 = st
+                fire = fire & mk_flat
+                ext_y, vy, cbf_l = _tu_step_dyn(
+                    ext_y, vy, oyl, mode, fire, oy, ox, 4, self.qp, av_z,
+                    is_luma=True, ctu_yx=(ctu_y, ctu_x), frame_hw=(g.h, g.w),
+                    span=64, rdoq_lam=self.rdoq_lam, sbh=self.sbh, dst=True)
+                cy4 = jax.lax.dynamic_update_slice(
+                    cy4, jnp.where(fire, cbf_l,
+                                   pick(cy4, s4y, s4x))[:, None, None],
+                    (0, s4y, s4x))
+                return (ext_y, ext_c, vy, vc, cy8, cc8, cy4)
 
             def block16_body(st, xs):
-                ty, tx, is_q, av32, av32c, av16, av16c, av8m, av8c = xs
+                ty, tx, is_q, av32, av32c, av16, av16c, av8m, av8c, av4m = xs
                 sy, sx = ty // 8, tx // 8
                 d_t = pick(d8, sy, sx)
                 coded_t = pick(c8, sy, sx)
@@ -705,29 +781,39 @@ class FrameEncoder:
                 mode_a = jnp.where(d_t == 0, mm64, m32s)
                 cmode_a = pick(cm8, sy, sx)
                 fire_a = is_q & (d_t <= 1) & coded_t
-                st = do_tu(st, mode_a, cmode_a, fire_a, ty, tx, 32,
+                st = do_tu(st, mode_a, cmode_a, fire_a, fire_a, ty, tx, 32,
                            av32, av32c, sy, sx)
                 # TU16.
                 mode_b = pick(mm16, ty // 16, tx // 16)
-                st = do_tu(st, mode_b, pick(cm8, sy, sx),
-                           (d_t == 2) & coded_t, ty, tx, 16,
-                           av16, av16c, sy, sx)
-                # TU8 x4 (z-order within the block).
+                fire_b = (d_t == 2) & coded_t
+                st = do_tu(st, mode_b, pick(cm8, sy, sx), fire_b, fire_b,
+                           ty, tx, 16, av16, av16c, sy, sx)
+                # TU8 x4 (z-order within the block). With PART_NxN the 8x8
+                # luma splits into four 4x4 DST TUs (own modes); the 4x4
+                # chroma TU fires either way.
                 for e in range(4):
                     ey, ex = ty + (e // 2) * 8, tx + (e % 2) * 8
                     esy, esx = ey // 8, ex // 8
                     d_e = pick(d8, esy, esx)
                     coded_e = pick(c8, esy, esx)
                     mode_e = pick(mm8, esy, esx)
+                    nxn_e = pick(nx8, esy, esx)
+                    fire_e = (d_e == 3) & coded_e
                     st = do_tu(st, mode_e, pick(cm8, esy, esx),
-                               (d_e == 3) & coded_e, ey, ex, 8,
+                               fire_e & ~nxn_e, fire_e, ey, ex, 8,
                                av8m[e], av8c[e], esy, esx)
+                    if self.nxn:
+                        for q in range(4):
+                            qy, qx = ey + (q // 2) * 4, ex + (q % 2) * 4
+                            mode_q = pick(mm4, qy // 4, qx // 4)
+                            st = do_tu4(st, mode_q, fire_e & nxn_e, qy, qx,
+                                        av4m[e, q], qy // 4, qx // 4)
                 return st, None
 
-            st = (ext_y, ext_c, vy, vc, cy8, cc8)
+            st = (ext_y, ext_c, vy, vc, cy8, cc8, cy4)
             xs16 = tuple(jnp.asarray(x) for x in sched)
             st, _ = jax.lax.scan(block16_body, st, xs16)
-            (ext_y, ext_c, vy, vc, cy8, cc8) = st
+            (ext_y, ext_c, vy, vc, cy8, cc8, cy4) = st
 
             ly = ext_y[:, 1: 65, 1: 65]
             lu = ext_c[:ba, 1: 33, 1: 33]
@@ -752,7 +838,8 @@ class FrameEncoder:
             cby = scat(cby, cy8, (8, 8))
             cbu = scat(cbu, cu8, (8, 8))
             cbv = scat(cbv, cv8, (8, 8))
-            return (ry, ru, rv, lvy, lvu, lvv, cby, cbu, cbv), None
+            cb4 = scat(cb4, cy4, (16, 16))
+            return (ry, ru, rv, lvy, lvu, lvv, cby, cbu, cbv, cb4), None
 
         init = (
             jnp.zeros((b, g.rc, g.cc, 64, 64), jnp.int32),
@@ -764,9 +851,10 @@ class FrameEncoder:
             jnp.zeros((b, g.rc, g.cc, 8, 8), bool),
             jnp.zeros((b, g.rc, g.cc, 8, 8), bool),
             jnp.zeros((b, g.rc, g.cc, 8, 8), bool),
+            jnp.zeros((b, g.rc, g.cc, 16, 16), bool),
         )
         xs = (jnp.asarray(act_r), jnp.asarray(act_c), jnp.asarray(act_m))
-        (ry, ru, rv, lvy, lvu, lvv, cby, cbu, cbv), _ = jax.lax.scan(
+        (ry, ru, rv, lvy, lvu, lvv, cby, cbu, cbv, cb4), _ = jax.lax.scan(
             diagonal_body, init, xs)
 
         g_ = self.geom
@@ -780,4 +868,5 @@ class FrameEncoder:
             "cbf_y": from_blocked(cby),
             "cbf_u": from_blocked(cbu),
             "cbf_v": from_blocked(cbv),
+            "cbf4_y": from_blocked(cb4),
         }
