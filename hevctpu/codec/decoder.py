@@ -73,7 +73,8 @@ class Decoder:
                 sh["qp"] if is_luma else qp_c, is_luma,
                 h if is_luma else h // 2, w if is_luma else w // 2,
                 span=64 if is_luma else 32,
-                strong_smoothing=cfg.strong_intra_smoothing)
+                strong_smoothing=cfg.strong_intra_smoothing,
+                dst=is_luma and log2 == 2)  # 4x4 intra luma is DST-VII
         ry, ru, rv = (planes[0][:h, :w], planes[1][:h // 2, :w // 2],
                       planes[2][:h // 2, :w // 2])
         if not self.pps.get("deblock_disabled", True):

@@ -4,9 +4,10 @@ operating point.
 Equivalent of the reference's TEncCavlc parameter-set writers
 (TEncCavlc.cpp codeVPS/codeSPS/codePPS/codeSliceHeader) but for the fixed
 IDR-only configuration this encoder emits: Main profile 4:2:0 8-bit, CTB 64,
-CU 8..64, TU 4..32 (no explicit TU split), SAO/deblocking off, every frame an
-IDR (the reference's IntraPeriod=1 / GOPSize=1 cfg, encoder_intra_main.cfg).
-Syntax follows H.265 7.3.2-7.3.6.
+CU 8..64 with 2Nx2N/NxN intra partitions, TU 4..32 (intra-split only),
+sign-data-hiding, SAO + deblocking, every frame an IDR (the reference's
+IntraPeriod=1 / GOPSize=1 cfg, encoder_intra_main.cfg). Syntax follows
+H.265 7.3.2-7.3.6.
 """
 
 from __future__ import annotations

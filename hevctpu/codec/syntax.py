@@ -7,8 +7,10 @@ TDecSbac mirror, written from H.265 7.3.8 / 9.3.3 / 9.3.4. Operates on the
 per-slot decision arrays the TPU encoder emits (depth8 / coded8 / mode8 /
 cbf planes / level planes).
 
-Operating point (matches codec/headers.py): I-slices only, part 2Nx2N,
-derived chroma mode, no explicit TU split, no transform-skip, no SBH.
+Operating point (matches codec/headers.py): I-slices only, part 2Nx2N at
+depths 0-2 and 2Nx2N/NxN at depth 3 (four 4x4 DST TUs with per-PU modes),
+searched chroma mode, sign-data-hiding, no explicit TU split beyond the
+NxN intra split, no transform-skip.
 """
 
 from __future__ import annotations
@@ -34,17 +36,18 @@ def resolve_chroma_mode(csel: int, luma_mode: int) -> int:
     return 34 if m == luma_mode else m
 
 
-def derive_mpm(mode8: np.ndarray, x0: int, y0: int) -> list[int]:
-    """3-entry most-probable-mode list (H.265 8.4.2). mode8 is the per-slot
-    luma mode map; unavailable or above-CTB neighbors count as DC."""
+def derive_mpm(mode4: np.ndarray, x0: int, y0: int) -> list[int]:
+    """3-entry most-probable-mode list (H.265 8.4.2). mode4 is the per-4x4
+    luma mode map (PU granularity — NxN PUs are 4x4); unavailable or
+    above-CTB neighbors count as DC."""
     if x0 == 0:
         cand_a = rom.DC_IDX
     else:
-        cand_a = int(mode8[y0 // 8, (x0 - 1) // 8])
+        cand_a = int(mode4[y0 // 4, (x0 - 1) // 4])
     if y0 == 0 or y0 % 64 == 0:
         cand_b = rom.DC_IDX
     else:
-        cand_b = int(mode8[(y0 - 1) // 8, x0 // 8])
+        cand_b = int(mode4[(y0 - 1) // 4, x0 // 4])
     if cand_a == cand_b:
         if cand_a < 2:
             return [rom.PLANAR_IDX, rom.DC_IDX, rom.VER_IDX]
@@ -129,7 +132,15 @@ class SliceEncoder(_Walker):
         self.i = frame_idx
         self.depth8 = frame["depth8"][frame_idx]
         self.coded8 = frame["coded8"][frame_idx]
-        self.mode8 = frame["mode8"][frame_idx]
+        mode8 = frame["mode8"][frame_idx]
+        if "mode4" in frame:
+            self.mode4 = frame["mode4"][frame_idx]
+            self.nxn8 = frame["nxn8"][frame_idx]
+            self.cbf4 = frame["cbf4_y"][frame_idx]
+        else:  # legacy frame dict: 2Nx2N only
+            self.mode4 = np.repeat(np.repeat(mode8, 2, 0), 2, 1)
+            self.nxn8 = np.zeros_like(mode8, bool)
+            self.cbf4 = None
         self.cbf = {0: frame["cbf_y"][frame_idx], 1: frame["cbf_u"][frame_idx],
                     2: frame["cbf_v"][frame_idx]}
         self.levels = {0: frame["levels_y"][frame_idx],
@@ -218,28 +229,58 @@ class SliceEncoder(_Walker):
             self._coding_unit(x0, y0, log2)
 
     def _coding_unit(self, x0, y0, log2):
+        nxn = False
         if log2 == 3:
-            self.c.encode_bin(self.ctx("part_mode", 0), 1)  # PART_2Nx2N
-        mode = int(self.mode8[y0 // 8, x0 // 8])
-        mpm = derive_mpm(self.mode8, x0, y0)
-        if mode in mpm:
-            self.c.encode_bin(self.ctx("prev_intra_luma_pred", 0), 1)
-            idx = mpm.index(mode)
-            self.c.encode_bypass(min(idx, 1))
-            if idx:
-                self.c.encode_bypass(idx - 1)
-        else:
-            self.c.encode_bin(self.ctx("prev_intra_luma_pred", 0), 0)
-            rem = mode - sum(1 for m in sorted(mpm) if m < mode)
-            self.c.encode_bypass_bins(rem, 5)
+            nxn = bool(self.nxn8[y0 // 8, x0 // 8])
+            # part_mode (9.3.3.7): 1 -> PART_2Nx2N, 0 -> PART_NxN
+            self.c.encode_bin(self.ctx("part_mode", 0), 0 if nxn else 1)
+        pus = ([(x0, y0), (x0 + 4, y0), (x0, y0 + 4), (x0 + 4, y0 + 4)]
+               if nxn else [(x0, y0)])
+        pmodes = [int(self.mode4[py // 4, px // 4]) for px, py in pus]
+        mpms = [derive_mpm(self.mode4, px, py) for px, py in pus]
+        # 7.3.8.5: all prev_intra_luma_pred_flags first, then per-PU payload
+        for mode, mpm in zip(pmodes, mpms):
+            self.c.encode_bin(self.ctx("prev_intra_luma_pred", 0),
+                              int(mode in mpm))
+        for mode, mpm in zip(pmodes, mpms):
+            if mode in mpm:
+                idx = mpm.index(mode)
+                self.c.encode_bypass(min(idx, 1))
+                if idx:
+                    self.c.encode_bypass(idx - 1)
+            else:
+                rem = mode - sum(1 for m in sorted(mpm) if m < mode)
+                self.c.encode_bypass_bins(rem, 5)
         csel = int(self.csel8[y0 // 8, x0 // 8])
         if csel == 4:  # derived (DM)
             self.c.encode_bin(self.ctx("intra_chroma_pred_mode", 0), 0)
         else:
             self.c.encode_bin(self.ctx("intra_chroma_pred_mode", 0), 1)
             self.c.encode_bypass_bins(csel, 2)
-        self._transform_tree(x0, y0, log2, log2, 0, True, True, mode,
-                             resolve_chroma_mode(csel, mode))
+        cmode = resolve_chroma_mode(csel, pmodes[0])
+        if nxn:
+            self._transform_tree_nxn(x0, y0, pmodes, cmode)
+        else:
+            self._transform_tree(x0, y0, log2, log2, 0, True, True,
+                                 pmodes[0], cmode)
+
+    def _transform_tree_nxn(self, x0, y0, pmodes, cmode):
+        """NxN CU: split_transform_flag inferred 1 (IntraSplitFlag, 7.3.8.8);
+        four 4x4 DST luma TUs in z-order, chroma coded with the last one."""
+        cb = self._node_cbf(1, x0, y0, 3)
+        cr = self._node_cbf(2, x0, y0, 3)
+        self.c.encode_bin(self.ctx("cbf_chroma", 0), int(cb))
+        self.c.encode_bin(self.ctx("cbf_chroma", 0), int(cr))
+        for k, (px, py) in enumerate(
+                [(x0, y0), (x0 + 4, y0), (x0, y0 + 4), (x0 + 4, y0 + 4)]):
+            cbf_l = bool(self.cbf4[py // 4, px // 4])
+            self.c.encode_bin(self.ctx("cbf_luma", 0), int(cbf_l))  # depth 1
+            if cbf_l:
+                self._residual(px, py, 2, 0, pmodes[k])
+        if cb:
+            self._residual(x0 // 2, y0 // 2, 2, 1, cmode)
+        if cr:
+            self._residual(x0 // 2, y0 // 2, 2, 2, cmode)
 
     # -- transform tree ----------------------------------------------------
 
@@ -432,7 +473,9 @@ class SliceDecoder(_Walker):
         h8, w8 = self.rc * 8, self.cc * 8
         self.depth8 = np.zeros((h8, w8), np.int32)
         self.coded8 = np.zeros((h8, w8), bool)
-        self.mode8 = np.full((h8, w8), -1, np.int32)
+        self.mode4 = np.full((h8 * 2, w8 * 2), -1, np.int32)
+        self.nxn8 = np.zeros((h8, w8), bool)
+        self.cbf4 = np.zeros((h8 * 2, w8 * 2), bool)
         self.csel8 = np.full((h8, w8), 4, np.int32)
         self.cbf = {0: np.zeros((h8, w8), bool), 1: np.zeros((h8, w8), bool),
                     2: np.zeros((h8, w8), bool)}
@@ -523,30 +566,61 @@ class SliceDecoder(_Walker):
             self._coding_unit(x0, y0, log2)
 
     def _coding_unit(self, x0, y0, log2):
+        nxn = False
         if log2 == 3:
-            part = self.c.decode_bin(self.ctx("part_mode", 0))
-            assert part == 1, "NxN not supported by this decoder yet"
-        mpm = derive_mpm(self.mode8, x0, y0)
-        if self.c.decode_bin(self.ctx("prev_intra_luma_pred", 0)):
-            idx = self.c.decode_bypass()
-            if idx:
-                idx += self.c.decode_bypass()
-            mode = mpm[idx]
-        else:
-            rem = self.c.decode_bypass_bins(5)
-            mode = rem
-            for m in sorted(mpm):
-                if mode >= m:
-                    mode += 1
-        s = 1 << (log2 - 3)
-        self.mode8[y0 // 8: y0 // 8 + s, x0 // 8: x0 // 8 + s] = mode
+            nxn = self.c.decode_bin(self.ctx("part_mode", 0)) == 0
+            self.nxn8[y0 // 8, x0 // 8] = nxn
+        pus = ([(x0, y0), (x0 + 4, y0), (x0, y0 + 4), (x0 + 4, y0 + 4)]
+               if nxn else [(x0, y0)])
+        flags = [self.c.decode_bin(self.ctx("prev_intra_luma_pred", 0))
+                 for _ in pus]
+        pmodes = []
+        sp = 1 << (log2 - 2) if not nxn else 1
+        for (px, py), flag in zip(pus, flags):
+            mpm = derive_mpm(self.mode4, px, py)
+            if flag:
+                idx = self.c.decode_bypass()
+                if idx:
+                    idx += self.c.decode_bypass()
+                mode = mpm[idx]
+            else:
+                mode = self.c.decode_bypass_bins(5)
+                for m in sorted(mpm):
+                    if mode >= m:
+                        mode += 1
+            pmodes.append(mode)
+            self.mode4[py // 4: py // 4 + sp, px // 4: px // 4 + sp] = mode
         if self.c.decode_bin(self.ctx("intra_chroma_pred_mode", 0)):
             csel = self.c.decode_bypass_bins(2)
         else:
             csel = 4
+        s = 1 << (log2 - 3)
         self.csel8[y0 // 8: y0 // 8 + s, x0 // 8: x0 // 8 + s] = csel
-        self._transform_tree(x0, y0, log2, log2, 0, True, True, mode,
-                             resolve_chroma_mode(csel, mode))
+        cmode = resolve_chroma_mode(csel, pmodes[0])
+        if nxn:
+            self._transform_tree_nxn(x0, y0, pmodes, cmode)
+        else:
+            self._transform_tree(x0, y0, log2, log2, 0, True, True,
+                                 pmodes[0], cmode)
+
+    def _transform_tree_nxn(self, x0, y0, pmodes, cmode):
+        cb = bool(self.c.decode_bin(self.ctx("cbf_chroma", 0)))
+        cr = bool(self.c.decode_bin(self.ctx("cbf_chroma", 0)))
+        for k, (px, py) in enumerate(
+                [(x0, y0), (x0 + 4, y0), (x0, y0 + 4), (x0 + 4, y0 + 4)]):
+            cbf_l = bool(self.c.decode_bin(self.ctx("cbf_luma", 0)))
+            self.cbf4[py // 4, px // 4] = cbf_l
+            if cbf_l:
+                self._residual(px, py, 2, 0, pmodes[k])
+            self.tu_list.append((px, py, 2, 0, pmodes[k], cbf_l))
+        self.cbf[1][y0 // 8, x0 // 8] = cb
+        self.cbf[2][y0 // 8, x0 // 8] = cr
+        if cb:
+            self._residual(x0 // 2, y0 // 2, 2, 1, cmode)
+        self.tu_list.append((x0 // 2, y0 // 2, 2, 1, cmode, cb))
+        if cr:
+            self._residual(x0 // 2, y0 // 2, 2, 2, cmode)
+        self.tu_list.append((x0 // 2, y0 // 2, 2, 2, cmode, cr))
 
     def _transform_tree(self, x0, y0, log2, cu_log2, depth, pcb, pcr, mode,
                         cmode):

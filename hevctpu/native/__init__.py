@@ -85,7 +85,7 @@ def _load():
     lib.encode_slice_data.restype = ctypes.c_int
     lib.encode_slice_data.argtypes = [
         ctypes.c_int, ctypes.c_int, ctypes.c_int,
-        i32p, i32p, i32p, u8p, u8p, u8p, i32p, i32p, i32p,
+        i32p, i32p, i32p, u8p, u8p, u8p, u8p, u8p, i32p, i32p, i32p,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_int, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int]
     _lib = lib
@@ -107,7 +107,16 @@ def encode_slice_data(width: int, height: int, qp: int,
     if lib is None:
         raise RuntimeError(f"native entropy unavailable: {_lib_err}")
     d8 = np.ascontiguousarray(frame["depth8"][i], np.int32)
-    m8 = np.ascontiguousarray(frame["mode8"][i], np.int32)
+    m8 = frame["mode8"][i]
+    if "mode4" in frame:
+        m4 = np.ascontiguousarray(frame["mode4"][i], np.int32)
+        nx8 = np.ascontiguousarray(frame["nxn8"][i], np.uint8)
+        cbf4 = np.ascontiguousarray(frame["cbf4_y"][i], np.uint8)
+    else:  # legacy frame dict: 2Nx2N only
+        m4 = np.ascontiguousarray(np.repeat(np.repeat(m8, 2, 0), 2, 1),
+                                  np.int32)
+        nx8 = np.zeros(d8.shape, np.uint8)
+        cbf4 = np.zeros((d8.shape[0] * 2, d8.shape[1] * 2), np.uint8)
     cs8 = (np.ascontiguousarray(frame["csel8"][i], np.int32)
            if "csel8" in frame else np.full_like(d8, 4))
     cbf = [np.ascontiguousarray(frame[k][i], np.uint8)
@@ -122,8 +131,8 @@ def encode_slice_data(width: int, height: int, qp: int,
         sp = [None] * 4
     cap = lv[0].size * 8 + 65536
     out = (ctypes.c_uint8 * cap)()
-    n = lib.encode_slice_data(width, height, qp, d8, m8, cs8, cbf[0], cbf[1],
-                              cbf[2], lv[0], lv[1], lv[2],
+    n = lib.encode_slice_data(width, height, qp, d8, m4, cs8, nx8, cbf4,
+                              cbf[0], cbf[1], cbf[2], lv[0], lv[1], lv[2],
                               sp[0], sp[1], sp[2], sp[3], int(sbh), out, cap)
     if n < 0:
         raise RuntimeError("native entropy: output overflow")

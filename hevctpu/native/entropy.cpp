@@ -288,7 +288,9 @@ inline int last_prefix(int val) {
 struct SliceEnc {
   int w, h, rc, cc, h8, w8, wl, wc;
   const int32_t* depth8;
-  const int32_t* mode8;
+  const int32_t* mode4;  // per-4x4 luma modes (PU granularity)
+  const uint8_t* nxn8 = nullptr;   // PART_NxN flag per 8x8 CU slot
+  const uint8_t* cbf4 = nullptr;   // luma cbf per 4x4 (NxN TUs)
   const int32_t* csel8;
   const uint8_t* cbf[3];
   const int32_t* levels[3];
@@ -308,7 +310,7 @@ struct SliceEnc {
            const int32_t* lv)
       : w(width), h(height), rc((height + 63) / 64), cc((width + 63) / 64),
         h8(rc * 8), w8(cc * 8), wl(cc * 64), wc(cc * 32), depth8(d8),
-        mode8(m8), csel8(cs8), cbf{cy, cu, cv}, levels{ly, lu, lv},
+        mode4(m8), csel8(cs8), cbf{cy, cu, cv}, levels{ly, lu, lv},
         c(bw, qp) {}
 
   int d8(int y8, int x8) const { return depth8[y8 * w8 + x8]; }
@@ -379,11 +381,13 @@ struct SliceEnc {
   }
 
   void derive_mpm(int x0, int y0, int mpm[3]) const {
+    // mode4 is the per-4x4 luma mode map (PU granularity; NxN PUs are 4x4)
+    int w4 = w8 * 2;
     int cand_a =
-        x0 == 0 ? DC_IDX : mode8[(y0 / 8) * w8 + (x0 - 1) / 8];
+        x0 == 0 ? DC_IDX : mode4[(y0 / 4) * w4 + (x0 - 1) / 4];
     int cand_b = (y0 == 0 || y0 % 64 == 0)
                      ? DC_IDX
-                     : mode8[((y0 - 1) / 8) * w8 + x0 / 8];
+                     : mode4[((y0 - 1) / 4) * w4 + x0 / 4];
     if (cand_a == cand_b) {
       if (cand_a < 2) {
         mpm[0] = PLANAR_IDX;
@@ -407,37 +411,71 @@ struct SliceEnc {
   }
 
   void coding_unit(int x0, int y0, int log2) {
-    if (log2 == 3) c.bin(CTX_PART_MODE, 1);  // PART_2Nx2N
-    int mode = mode8[(y0 / 8) * w8 + x0 / 8];
-    int mpm[3];
-    derive_mpm(x0, y0, mpm);
-    int idx = mode == mpm[0] ? 0 : (mode == mpm[1] ? 1 : (mode == mpm[2] ? 2 : -1));
-    if (idx >= 0) {
-      c.bin(CTX_PREV_INTRA_LUMA_PRED, 1);
-      c.bypass(idx > 0 ? 1 : 0);
-      if (idx) c.bypass(idx - 1);
-    } else {
-      c.bin(CTX_PREV_INTRA_LUMA_PRED, 0);
-      int rem = mode;
-      // subtract the number of MPMs smaller than mode
-      for (int k = 0; k < 3; k++)
-        if (mpm[k] < mode) rem--;
-      c.bypass_bins(rem, 5);
+    int w4 = w8 * 2;
+    bool nxn = false;
+    if (log2 == 3) {
+      nxn = nxn8 != nullptr && nxn8[(y0 / 8) * w8 + x0 / 8] != 0;
+      // part_mode (9.3.3.7): 1 -> PART_2Nx2N, 0 -> PART_NxN
+      c.bin(CTX_PART_MODE, nxn ? 0 : 1);
+    }
+    int npu = nxn ? 4 : 1;
+    int pux[4] = {x0, x0 + 4, x0, x0 + 4};
+    int puy[4] = {y0, y0, y0 + 4, y0 + 4};
+    int pmodes[4], idxs[4];
+    int mpms[4][3];
+    for (int p = 0; p < npu; p++) {
+      pmodes[p] = mode4[(puy[p] / 4) * w4 + pux[p] / 4];
+      derive_mpm(pux[p], puy[p], mpms[p]);
+      int mode = pmodes[p];
+      idxs[p] = mode == mpms[p][0]
+                    ? 0
+                    : (mode == mpms[p][1] ? 1 : (mode == mpms[p][2] ? 2 : -1));
+      c.bin(CTX_PREV_INTRA_LUMA_PRED, idxs[p] >= 0 ? 1 : 0);
+    }
+    for (int p = 0; p < npu; p++) {
+      int idx = idxs[p], mode = pmodes[p];
+      if (idx >= 0) {
+        c.bypass(idx > 0 ? 1 : 0);
+        if (idx) c.bypass(idx - 1);
+      } else {
+        int rem = mode;
+        for (int k = 0; k < 3; k++)
+          if (mpms[p][k] < mode) rem--;
+        c.bypass_bins(rem, 5);
+      }
     }
     // intra_chroma_pred_mode (H.265 Table 8-3): 4 = derived, 0..3 indexes
-    // {planar, ver, hor, dc} with ==luma substituted by angular 34.
+    // {planar, ver, hor, dc} with ==luma substituted by angular 34; DM for
+    // NxN resolves against PU0's mode (8.4.3).
     int csel = csel8[(y0 / 8) * w8 + x0 / 8];
+    int mode0 = pmodes[0];
     int cmode;
     if (csel == 4) {
       c.bin(CTX_INTRA_CHROMA_PRED_MODE, 0);
-      cmode = mode;
+      cmode = mode0;
     } else {
       c.bin(CTX_INTRA_CHROMA_PRED_MODE, 1);
       c.bypass_bins(csel, 2);
       static const int kList[4] = {PLANAR_IDX, VER_IDX, HOR_IDX, DC_IDX};
-      cmode = kList[csel] == mode ? 34 : kList[csel];
+      cmode = kList[csel] == mode0 ? 34 : kList[csel];
     }
-    transform_tree(x0, y0, log2, 0, true, true, mode, cmode);
+    if (nxn) {
+      // split_transform_flag inferred 1 (IntraSplitFlag, 7.3.8.8): four
+      // 4x4 DST luma TUs in z-order; chroma coded with the last one.
+      bool cb = node_cbf(1, x0, y0, 3);
+      bool cr = node_cbf(2, x0, y0, 3);
+      c.bin(CTX_CBF_CHROMA, cb ? 1 : 0);
+      c.bin(CTX_CBF_CHROMA, cr ? 1 : 0);
+      for (int p = 0; p < 4; p++) {
+        bool cbf_l = cbf4[(puy[p] / 4) * w4 + pux[p] / 4] != 0;
+        c.bin(CTX_CBF_LUMA, cbf_l ? 1 : 0);  // trafoDepth 1 -> ctx 0
+        if (cbf_l) residual(pux[p], puy[p], 2, 0, pmodes[p]);
+      }
+      if (cb) residual(x0 / 2, y0 / 2, 2, 1, cmode);
+      if (cr) residual(x0 / 2, y0 / 2, 2, 2, cmode);
+    } else {
+      transform_tree(x0, y0, log2, 0, true, true, mode0, cmode);
+    }
   }
 
   bool node_cbf(int comp, int x0, int y0, int log2) const {
@@ -664,15 +702,18 @@ extern "C" {
 
 // Returns bytes written to `out` (capacity out_cap), or -1 on overflow.
 int encode_slice_data(int width, int height, int qp, const int32_t* depth8,
-                      const int32_t* mode8, const int32_t* csel8,
+                      const int32_t* mode4, const int32_t* csel8,
+                      const uint8_t* nxn8, const uint8_t* cbf4,
                       const uint8_t* cbf_y, const uint8_t* cbf_u,
                       const uint8_t* cbf_v, const int32_t* levels_y,
                       const int32_t* levels_u, const int32_t* levels_v,
                       const int32_t* sao_type, const int32_t* sao_eo,
                       const int32_t* sao_bp, const int32_t* sao_off,
                       int sbh, uint8_t* out, int out_cap) {
-  SliceEnc enc(width, height, qp, depth8, mode8, csel8, cbf_y, cbf_u, cbf_v,
+  SliceEnc enc(width, height, qp, depth8, mode4, csel8, cbf_y, cbf_u, cbf_v,
                levels_y, levels_u, levels_v);
+  enc.nxn8 = nxn8;
+  enc.cbf4 = cbf4;
   enc.sao_type = sao_type;
   enc.sao_eo = sao_eo;
   enc.sao_bp = sao_bp;

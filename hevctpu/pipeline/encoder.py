@@ -485,7 +485,7 @@ class FrameEncoder:
 
     def __init__(self, h: int, w: int, qp: int, *, deblock: bool = True,
                  search: str = "cnn", rdoq: bool = True, sao: bool = True,
-                 sbh: bool = True, nxn: bool = False):
+                 sbh: bool = True, nxn: bool = True):
         assert h % 8 == 0 and w % 8 == 0, "HEVC requires dims % minCU == 0"
         assert search in ("cnn", "rd")
         self.geom = Geometry(h, w)
