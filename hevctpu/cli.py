@@ -155,6 +155,7 @@ def cmd_encode(args) -> int:
                                seq.width, seq.height, n)
 
     frames_out = []
+    chunks = [] if ratec is not None else None
     # rate control / adaptive QP choose a QP per picture -> batch size 1;
     # constant-QP runs batch for throughput.
     bsz = 1 if (ratec or args.adaptive_qp) else max(args.batch, 1)
@@ -171,16 +172,21 @@ def cmd_encode(args) -> int:
             labels[i:j] if labels is not None else None)
         out["qp"] = qp
         if ratec is not None:
+            # entropy-encode the picture's NALs once: feed the size to the
+            # rate controller and reuse the bytes for the final stream.
             cfg1 = headers.StreamConfig(width=seq.width, height=seq.height,
                                         qp=qp)
-            bits = (len(streamlib.encode_stream(cfg1, [out]))
-                    - len(streamlib.encode_stream(cfg1, []))) * 8
-            ratec.update(bits)
+            chunk = streamlib.encode_frame_nals(cfg1, out)
+            ratec.update(len(chunk) * 8)
+            chunks.append(chunk)
         frames_out.append(out)
     t_enc = time.time() - t0
 
     cfg = headers.StreamConfig(width=seq.width, height=seq.height, qp=args.qp)
-    stream = streamlib.encode_stream(cfg, frames_out)
+    if chunks is not None:
+        stream = streamlib.parameter_set_nals(cfg) + b"".join(chunks)
+    else:
+        stream = streamlib.encode_stream(cfg, frames_out)
     with open(args.bitstream, "wb") as f:
         f.write(stream)
     t_total = time.time() - t0

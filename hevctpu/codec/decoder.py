@@ -85,6 +85,53 @@ class Decoder:
         self.frames.append((ry, ru, rv))
 
 
+def parameter_set_nals(cfg: headers.StreamConfig) -> bytes:
+    """VPS + SPS + PPS as Annex-B NAL units."""
+    out = bytearray()
+    out += bitio.nal_unit(headers.NAL_VPS, headers.write_vps(cfg))
+    out += bitio.nal_unit(headers.NAL_SPS, headers.write_sps(cfg))
+    out += bitio.nal_unit(headers.NAL_PPS, headers.write_pps(cfg))
+    return bytes(out)
+
+
+def encode_frame_nals(cfg: headers.StreamConfig, fr: dict,
+                      use_native: bool | None = None) -> bytes:
+    """Slice (+hash-SEI) NAL units for one frame dict (all batch entries)."""
+    from hevctpu import native
+    from hevctpu.codec.syntax import SliceEncoder
+
+    if use_native is None:
+        use_native = native.available()
+    assert cfg.sao == ("sao_type" in fr), \
+        "cfg.sao must match the encoder's sao setting"
+    if "sbh" in fr:
+        assert cfg.sign_data_hiding == bool(fr["sbh"]), \
+            "cfg.sign_data_hiding must match the encoder's sbh setting" \
+            " (hidden signs would decode silently wrong)"
+    # rate control / adaptive QP: a batch may carry its own slice QP.
+    fcfg = cfg
+    if "qp" in fr and int(fr["qp"]) != cfg.qp:
+        fcfg = dataclasses.replace(cfg, qp=int(fr["qp"]))
+    out = bytearray()
+    b = fr["depth8"].shape[0]
+    for i in range(b):
+        if use_native:
+            rbsp = headers.write_slice_header(fcfg).data()
+            rbsp += native.encode_slice_data(
+                fcfg.width, fcfg.height, fcfg.qp, fr, i,
+                sbh=fcfg.sign_data_hiding)
+        else:
+            rbsp = SliceEncoder(fcfg, fr, i).encode()
+        out += bitio.nal_unit(headers.NAL_IDR_W_RADL, rbsp)
+        if "recon_y" in fr:
+            out += bitio.nal_unit(
+                headers.NAL_SEI_SUFFIX,
+                headers.write_hash_sei(fr["recon_y"][i], fr["recon_u"][i],
+                                       fr["recon_v"][i]),
+                temporal_id=0)
+    return bytes(out)
+
+
 def encode_stream(cfg: headers.StreamConfig, frames: list[dict],
                   use_native: bool | None = None) -> bytes:
     """Assemble a full Annex-B stream: VPS/SPS/PPS + one IDR per frame.
@@ -93,36 +140,7 @@ def encode_stream(cfg: headers.StreamConfig, frames: list[dict],
     (hevctpu/native — byte-identical to codec/syntax.py, ~100x faster);
     pass use_native=False to force the Python golden path.
     """
-    from hevctpu import native
-    from hevctpu.codec.syntax import SliceEncoder
-
-    if use_native is None:
-        use_native = native.available()
-    out = bytearray()
-    out += bitio.nal_unit(headers.NAL_VPS, headers.write_vps(cfg))
-    out += bitio.nal_unit(headers.NAL_SPS, headers.write_sps(cfg))
-    out += bitio.nal_unit(headers.NAL_PPS, headers.write_pps(cfg))
+    out = bytearray(parameter_set_nals(cfg))
     for fr in frames:
-        assert cfg.sao == ("sao_type" in fr), \
-            "cfg.sao must match the encoder's sao setting"
-        # rate control / adaptive QP: a batch may carry its own slice QP.
-        fcfg = cfg
-        if "qp" in fr and int(fr["qp"]) != cfg.qp:
-            fcfg = dataclasses.replace(cfg, qp=int(fr["qp"]))
-        b = fr["depth8"].shape[0]
-        for i in range(b):
-            if use_native:
-                rbsp = headers.write_slice_header(fcfg).data()
-                rbsp += native.encode_slice_data(
-                    fcfg.width, fcfg.height, fcfg.qp, fr, i,
-                    sbh=fcfg.sign_data_hiding)
-            else:
-                rbsp = SliceEncoder(fcfg, fr, i).encode()
-            out += bitio.nal_unit(headers.NAL_IDR_W_RADL, rbsp)
-            if "recon_y" in fr:
-                out += bitio.nal_unit(
-                    headers.NAL_SEI_SUFFIX,
-                    headers.write_hash_sei(fr["recon_y"][i], fr["recon_u"][i],
-                                           fr["recon_v"][i]),
-                    temporal_id=0)
+        out += encode_frame_nals(cfg, fr, use_native)
     return bytes(out)

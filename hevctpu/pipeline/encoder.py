@@ -515,7 +515,11 @@ class FrameEncoder:
         out = self._encode(jnp.asarray(y, jnp.int32), jnp.asarray(u, jnp.int32),
                            jnp.asarray(v, jnp.int32),
                            jnp.asarray(labels, jnp.int32))
-        return {k: np.asarray(val) for k, val in out.items()}
+        out = {k: np.asarray(val) for k, val in out.items()}
+        # record coder-affecting settings so encode_stream can refuse a
+        # mismatched StreamConfig (hidden signs decode silently wrong).
+        out["sbh"] = np.bool_(self.sbh)
+        return out
 
     # -- implementation ----------------------------------------------------
 
@@ -550,7 +554,10 @@ class FrameEncoder:
         # Partition: CNN labels (pruned-search gate semantics) or the RD
         # quadtree decision; plus implicit boundary splits either way.
         if self.search == "rd":
-            total = {n: costs[n] + ccosts[n] for n in costs}
+            # ccosts has no NxN key; costs[8] already folded the NxN
+            # alternative in above, and its chroma cost is ccosts[8]
+            # either way (one 4x4 chroma TU per 8x8 luma CU).
+            total = {n: costs[n] + ccosts[n] for n in ccosts}
             labels = _rd_split_labels(total, self.qp)
         bh, bw = g.bh_bw
         labels_rc = labels.reshape(b, g.rc, g.cc, 16)

@@ -22,6 +22,11 @@ def _true_residual_bits(blk: np.ndarray, log2: int, qp: int,
     """Counting-CABAC bits to code one TU's levels (fresh contexts) — the
     same fractional-bit measure HM uses for its own RD decisions."""
     enc = SliceEncoder.__new__(SliceEncoder)
+    # minimal harness state: _residual reads cfg.sign_data_hiding; keep it
+    # off — estimate_tu_bits models the plain sign-bypass coding and the
+    # sampled levels carry no SBH parity fix.
+    enc.cfg = headers.StreamConfig(width=64, height=64, qp=qp,
+                                   sign_data_hiding=False)
     enc.levels = {comp: blk}
     enc.ctx = ContextSet(qp, init_type=0)
     enc.c = CabacCounter()

@@ -49,8 +49,16 @@ def main():
     import jax.numpy as jnp
     yp = enc_mod.pad_plane(jnp.asarray(yj, jnp.int32), g.hp, g.wp)
 
-    md = jax.jit(lambda p: enc_mod._dense_mode_decision(p, g))
+    md = jax.jit(lambda p: enc_mod._dense_mode_decision(p, g, QP))
     timeit("stage1 dense_mode_decision", lambda: jax.block_until_ready(md(yp)))
+
+    up = enc_mod.pad_plane(jnp.asarray(u, jnp.int32), g.hp // 2, g.wp // 2)
+    vp = enc_mod.pad_plane(jnp.asarray(v, jnp.int32), g.hp // 2, g.wp // 2)
+    modes = jax.jit(lambda p: enc_mod._dense_mode_decision(p, g, QP))(yp)[0]
+    cd = jax.jit(lambda a, b_, m: enc_mod._dense_chroma_decision(
+        a, b_, g, QP, enc.qp_c, m))
+    timeit("stage1 dense_chroma_decision",
+           lambda: jax.block_until_ready(cd(up, vp, modes)))
 
     full = timeit("full encode (s1+s2+deblock)",
                   lambda: enc.encode(y, u, v, labels))
