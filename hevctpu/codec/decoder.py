@@ -58,6 +58,8 @@ class Decoder:
             width=w, height=h, qp=sh["qp"],
             strong_intra_smoothing=self.sps["strong_intra_smoothing"],
             sign_data_hiding=self.pps["sign_data_hiding"],
+            max_tu_depth_intra=self.sps["max_tu_depth_intra"],
+            transform_skip=self.pps["transform_skip"],
             sao=self.sps["sao"])
         sd = SliceDecoder(cfg, rbsp, sh["data_offset"]).decode()
 
@@ -68,18 +70,23 @@ class Decoder:
         qp_c = rom.chroma_qp_from_luma(sh["qp"])
         for (x0, y0, log2, comp, mode, cbf) in sd.tu_list:
             is_luma = comp == 0
+            ts = False
+            if log2 == 2 and cbf:
+                ts = bool(sd.ts4[y0 // 4, x0 // 4] if is_luma
+                          else sd.ts_c[comp][y0 // 4, x0 // 4])
             refimpl.recon_tu(
                 planes[comp], sd.levels[comp], y0, x0, log2, mode, cbf,
                 sh["qp"] if is_luma else qp_c, is_luma,
                 h if is_luma else h // 2, w if is_luma else w // 2,
                 span=64 if is_luma else 32,
                 strong_smoothing=cfg.strong_intra_smoothing,
-                dst=is_luma and log2 == 2)  # 4x4 intra luma is DST-VII
+                dst=is_luma and log2 == 2,  # 4x4 intra luma is DST-VII
+                ts=ts)
         ry, ru, rv = (planes[0][:h, :w], planes[1][:h // 2, :w // 2],
                       planes[2][:h // 2, :w // 2])
         if not self.pps.get("deblock_disabled", True):
             ry, ru, rv = refimpl.deblock_frame_np(
-                ry, ru, rv, sd.depth8[: h // 8, : w // 8], sh["qp"], h, w)
+                ry, ru, rv, sd.tusz8[: h // 8, : w // 8], sh["qp"], h, w)
         if sd.sao is not None:
             ry, ru, rv = refimpl.sao_frame_np(ry, ru, rv, sd.sao, h, w)
         self.frames.append((ry, ru, rv))
@@ -108,6 +115,16 @@ def encode_frame_nals(cfg: headers.StreamConfig, fr: dict,
         assert cfg.sign_data_hiding == bool(fr["sbh"]), \
             "cfg.sign_data_hiding must match the encoder's sbh setting" \
             " (hidden signs would decode silently wrong)"
+    if cfg.max_tu_depth_intra > 0 and "tusz8" not in fr:
+        assert False, ("cfg.max_tu_depth_intra > 0 but the frame has no "
+                       "TU-split map (encode with tu_split=True or use a "
+                       "max_tu_depth_intra=0 StreamConfig)")
+    # (a ts-less frame under a transform_skip cfg is fine — all flags code
+    # as 0 — but TS decisions require the PPS flag to be signaled)
+    assert cfg.transform_skip or "ts4_y" not in fr, \
+        ("frame carries transform-skip decisions but cfg.transform_skip "
+         "is off — the flags would not be coded and the levels would "
+         "dequantize through the wrong inverse")
     # rate control / adaptive QP: a batch may carry its own slice QP.
     fcfg = cfg
     if "qp" in fr and int(fr["qp"]) != cfg.qp:
@@ -119,7 +136,9 @@ def encode_frame_nals(cfg: headers.StreamConfig, fr: dict,
             rbsp = headers.write_slice_header(fcfg).data()
             rbsp += native.encode_slice_data(
                 fcfg.width, fcfg.height, fcfg.qp, fr, i,
-                sbh=fcfg.sign_data_hiding)
+                sbh=fcfg.sign_data_hiding,
+                max_tu_depth=fcfg.max_tu_depth_intra,
+                transform_skip=fcfg.transform_skip)
         else:
             rbsp = SliceEncoder(fcfg, fr, i).encode()
         out += bitio.nal_unit(headers.NAL_IDR_W_RADL, rbsp)

@@ -32,7 +32,8 @@ class StreamConfig:
     qp: int
     strong_intra_smoothing: bool = True
     sign_data_hiding: bool = True
-    max_tu_depth_intra: int = 0
+    max_tu_depth_intra: int = 3
+    transform_skip: bool = True
     deblock: bool = True
     sao: bool = True
 
@@ -133,7 +134,7 @@ def write_pps(cfg: StreamConfig) -> bytes:
     bw.ue(0)              # num_ref_idx_l1_default_active_minus1
     bw.se(0)              # init_qp_minus26
     bw.flag(0)            # constrained_intra_pred_flag
-    bw.flag(0)            # transform_skip_enabled_flag
+    bw.flag(1 if cfg.transform_skip else 0)  # transform_skip_enabled_flag
     bw.flag(0)            # cu_qp_delta_enabled_flag
     bw.se(0)              # pps_cb_qp_offset
     bw.se(0)              # pps_cr_qp_offset

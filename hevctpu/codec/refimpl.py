@@ -245,7 +245,7 @@ def boundary_availability(y0, x0, n, h, w, span):
 
 
 def recon_tu(plane, levels, y0, x0, log2, mode, cbf, qp, is_luma, h, w,
-             span, strong_smoothing=True, dst=False, bit_depth=8):
+             span, strong_smoothing=True, dst=False, ts=False, bit_depth=8):
     """Reconstruct one TU in place on `plane` (numpy [hp, wp] int) from its
     neighbors + quantized levels: the scalar equivalent of TDecCu's
     xDecompressCU per-TU chain (predict -> dequant -> invT -> clip)."""
@@ -262,8 +262,14 @@ def recon_tu(plane, levels, y0, x0, log2, mode, cbf, qp, is_luma, h, w,
     pred = predict(r, mode, n, is_luma=is_luma, bd=bit_depth)
     if cbf:
         lvl = levels[y0: y0 + n, x0: x0 + n]
-        res = inverse_transform(dequantize(lvl, log2, qp, bit_depth), log2,
-                                dst=dst, bit_depth=bit_depth)
+        deq = dequantize(lvl, log2, qp, bit_depth)
+        if ts:
+            # transform-skip (8.6.4.2 / TComTrQuant xITransformSkip): the
+            # dequantized values ARE the 2^shift-scaled residual.
+            shift = rom.MAX_TR_DYNAMIC_RANGE - bit_depth - log2
+            res = (deq + (1 << (shift - 1))) >> shift
+        else:
+            res = inverse_transform(deq, log2, dst=dst, bit_depth=bit_depth)
         rec = np.clip(pred + res, 0, (1 << bit_depth) - 1)
     else:
         rec = np.clip(pred, 0, (1 << bit_depth) - 1)
@@ -287,11 +293,12 @@ def _clip3(lo, hi, x):
     return max(lo, min(hi, x))
 
 
-def _tu_size8(depth8, sy, sx):
-    return 1 << (min(6 - int(depth8[sy, sx]), 5) - 3)
+def _tu_size8(tusz8, sy, sx):
+    # leaf TU size in slots, clipped to the 8x8 deblocking grid
+    return 1 << (max(int(tusz8[sy, sx]), 3) - 3)
 
 
-def _deblock_luma_edges(plane, depth8, qp, h, w, bd=8):
+def _deblock_luma_edges(plane, tusz8, qp, h, w, bd=8):
     """Vertical luma edges of `plane` in place (call transposed for
     horizontal). plane indexed [y, x]."""
     beta = _DB_BETA[_clip3(0, 51, qp)] << (bd - 8)
@@ -301,7 +308,7 @@ def _deblock_luma_edges(plane, depth8, qp, h, w, bd=8):
         return
     for x in range(8, w, 8):
         for ys in range(0, h, 4):
-            if (x // 8) % _tu_size8(depth8, ys // 8, x // 8):
+            if (x // 8) % _tu_size8(tusz8, ys // 8, x // 8):
                 continue
             seg = plane[ys: ys + 4]
 
@@ -365,8 +372,8 @@ def _deblock_luma_edges(plane, depth8, qp, h, w, bd=8):
                         seg[k, x + 1] = _clip3(0, maxv, q1 + dq)
 
 
-def _deblock_chroma_edges(plane, depth8, qp_c, hc, wc, bd=8):
-    """Vertical chroma edges in place. depth8 is the LUMA slot-depth map."""
+def _deblock_chroma_edges(plane, tusz8, qp_c, hc, wc, bd=8):
+    """Vertical chroma edges in place. tusz8 is the LUMA leaf-TU map."""
     tc = _DB_TC[_clip3(0, 53, qp_c + 2)] << (bd - 8)
     maxv = (1 << bd) - 1
     if tc == 0:
@@ -374,7 +381,7 @@ def _deblock_chroma_edges(plane, depth8, qp_c, hc, wc, bd=8):
     for xc in range(8, wc, 8):
         for yc in range(hc):
             sy, sx = (2 * yc) // 8, (2 * xc) // 8
-            if sx % _tu_size8(depth8, sy, sx):
+            if sx % _tu_size8(tusz8, sy, sx):
                 continue
             p1, p0 = int(plane[yc, xc - 2]), int(plane[yc, xc - 1])
             q0, q1 = int(plane[yc, xc]), int(plane[yc, xc + 1])
@@ -383,16 +390,16 @@ def _deblock_chroma_edges(plane, depth8, qp_c, hc, wc, bd=8):
             plane[yc, xc] = _clip3(0, maxv, q0 - delta)
 
 
-def deblock_frame_np(y, u, v, depth8, qp, h, w, bd=8):
+def deblock_frame_np(y, u, v, tusz8, qp, h, w, bd=8):
     """Scalar full-frame deblock: all vertical edges, then all horizontal
     edges on the transposed planes (8.7.2 filter order). Arrays are
     modified in place and returned."""
     qp_c = rom.chroma_qp_from_luma(qp)
-    _deblock_luma_edges(y, depth8, qp, h, w, bd)
-    _deblock_chroma_edges(u, depth8, qp_c, h // 2, w // 2, bd)
-    _deblock_chroma_edges(v, depth8, qp_c, h // 2, w // 2, bd)
+    _deblock_luma_edges(y, tusz8, qp, h, w, bd)
+    _deblock_chroma_edges(u, tusz8, qp_c, h // 2, w // 2, bd)
+    _deblock_chroma_edges(v, tusz8, qp_c, h // 2, w // 2, bd)
     yt, ut, vt = (np.ascontiguousarray(p.T) for p in (y, u, v))
-    d8t = np.ascontiguousarray(depth8.T)
+    d8t = np.ascontiguousarray(tusz8.T)
     _deblock_luma_edges(yt, d8t, qp, w, h, bd)
     _deblock_chroma_edges(ut, d8t, qp_c, w // 2, h // 2, bd)
     _deblock_chroma_edges(vt, d8t, qp_c, w // 2, h // 2, bd)

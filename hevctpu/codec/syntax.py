@@ -9,8 +9,8 @@ cbf planes / level planes).
 
 Operating point (matches codec/headers.py): I-slices only, part 2Nx2N at
 depths 0-2 and 2Nx2N/NxN at depth 3 (four 4x4 DST TUs with per-PU modes),
-searched chroma mode, sign-data-hiding, no explicit TU split beyond the
-NxN intra split, no transform-skip.
+searched chroma mode, sign-data-hiding, intra TU quadtree splits to depth
+3 (split_transform_flag), 4x4 transform-skip, SAO with merge-left/up.
 """
 
 from __future__ import annotations
@@ -141,6 +141,11 @@ class SliceEncoder(_Walker):
             self.mode4 = np.repeat(np.repeat(mode8, 2, 0), 2, 1)
             self.nxn8 = np.zeros_like(mode8, bool)
             self.cbf4 = None
+        self.tusz8 = (frame["tusz8"][frame_idx] if "tusz8" in frame
+                      else None)
+        self.ts4 = frame["ts4_y"][frame_idx] if "ts4_y" in frame else None
+        self.ts_c = {c: frame[k][frame_idx]
+                     for c, k in ((1, "ts8_u"), (2, "ts8_v")) if k in frame}
         self.cbf = {0: frame["cbf_y"][frame_idx], 1: frame["cbf_u"][frame_idx],
                     2: frame["cbf_v"][frame_idx]}
         self.levels = {0: frame["levels_y"][frame_idx],
@@ -152,6 +157,8 @@ class SliceEncoder(_Walker):
         if cfg.sao:
             self.sao = {k: frame["sao_" + k][frame_idx]
                         for k in ("type", "eo", "bp", "off")}
+            self.sao["merge"] = (frame["sao_merge"][frame_idx]
+                                 if "sao_merge" in frame else None)
 
     def encode(self) -> bytes:
         bw = headers.write_slice_header(self.cfg)
@@ -172,12 +179,19 @@ class SliceEncoder(_Walker):
     # -- SAO (7.3.8.3; binarizations 9.3.3) --------------------------------
 
     def _sao_params(self, r, c):
-        """sao() for one CTU: no merges (we always signal new params when a
-        neighbor exists), then per-component type/offsets."""
+        """sao() for one CTU (7.3.8.3): merge-left/up flags (the decision
+        of TEncSampleAdaptiveOffset deriveModeMergeRDO/decideBlkParams,
+        restated densely in ops/sao.decide_params), then per-component
+        type/offsets for non-merged CTUs."""
+        m = 0
+        if self.sao.get("merge") is not None:
+            m = int(self.sao["merge"][r, c])
         if c > 0:
-            self.c.encode_bin(self.ctx("sao_merge", 0), 0)  # merge_left
-        if r > 0:
-            self.c.encode_bin(self.ctx("sao_merge", 0), 0)  # merge_up
+            self.c.encode_bin(self.ctx("sao_merge", 0), 1 if m == 1 else 0)
+        if m != 1 and r > 0:
+            self.c.encode_bin(self.ctx("sao_merge", 0), 1 if m == 2 else 0)
+        if m:
+            return
         for cidx in range(3):
             tix = 0 if cidx == 0 else 1
             typ = int(self.sao["type"][r, c, tix])
@@ -290,9 +304,27 @@ class SliceEncoder(_Walker):
                             x0 // 8: x0 // 8 + max(s, 1)]
         return bool(sl.any())
 
+    def _tu_leaf_log2(self, x0, y0):
+        """log2 of the leaf TU covering 8x8 slot (x0, y0) (2 = the slot is
+        coded as four 4x4 TUs). From the tusz8 plane if present, else the
+        CU size (no TU split)."""
+        if getattr(self, "tusz8", None) is not None:
+            return int(self.tusz8[y0 // 8, x0 // 8])
+        return None
+
     def _transform_tree(self, x0, y0, log2, cu_log2, depth, pcb, pcr, mode,
                         cmode):
-        split = log2 > 5
+        """transform_tree (7.3.8.8): explicit split_transform_flag down to
+        max_transform_hierarchy_depth_intra (the reference operating point
+        searches TU splits to depth 3, TEncSearch.cpp:1430-1448,
+        encoder_intra_main.cfg:26-29)."""
+        infer_split = log2 > 5
+        tusz = self._tu_leaf_log2(x0, y0)
+        present = (2 < log2 <= 5 and depth < self.cfg.max_tu_depth_intra)
+        split = infer_split or (present and tusz is not None and tusz < log2)
+        if present:
+            self.c.encode_bin(self.ctx("split_transform_flag", 5 - log2),
+                              int(split))
         code_chroma = log2 > 2
         cb = self._node_cbf(1, x0, y0, log2)
         cr = self._node_cbf(2, x0, y0, log2)
@@ -301,11 +333,23 @@ class SliceEncoder(_Walker):
                 self.c.encode_bin(self.ctx("cbf_chroma", depth), int(cb))
             if pcr:
                 self.c.encode_bin(self.ctx("cbf_chroma", depth), int(cr))
-        if split:
+        if split and log2 > 3:
             h = 1 << (log2 - 1)
             for dy, dx in ((0, 0), (0, h), (h, 0), (h, h)):
                 self._transform_tree(x0 + dx, y0 + dy, log2 - 1, cu_log2,
                                      depth + 1, cb, cr, mode, cmode)
+            return
+        if split:  # log2 == 3: four 4x4 luma TUs, chroma stays at this node
+            for px, py in ((x0, y0), (x0 + 4, y0), (x0, y0 + 4),
+                           (x0 + 4, y0 + 4)):
+                cbf_l = bool(self.cbf4[py // 4, px // 4])
+                self.c.encode_bin(self.ctx("cbf_luma", 0), int(cbf_l))
+                if cbf_l:
+                    self._residual(px, py, 2, 0, mode)
+            if cb:
+                self._residual(x0 // 2, y0 // 2, 2, 1, cmode)
+            if cr:
+                self._residual(x0 // 2, y0 // 2, 2, 2, cmode)
             return
         cbf_l = bool(self.cbf[0][y0 // 8, x0 // 8])
         self.c.encode_bin(self.ctx("cbf_luma", 1 if depth == 0 else 0),
@@ -324,6 +368,15 @@ class SliceEncoder(_Walker):
         n = 1 << log2
         blk = self.levels[comp][y0: y0 + n, x0: x0 + n]
         is_luma = comp == 0
+        if self.cfg.transform_skip and log2 == 2:
+            # transform_skip_flag (7.3.8.11, first element of
+            # residual_coding; TComTrQuant xTransformSkip semantics)
+            ts = False
+            tsmap = self.ts4 if is_luma else self.ts_c.get(comp)
+            if tsmap is not None:
+                ts = bool(tsmap[y0 // 4, x0 // 4])
+            self.c.encode_bin(self.ctx("transform_skip", 0 if is_luma else 1),
+                              int(ts))
         scan_idx = rom.coef_scan_idx(mode, log2, is_luma)
         scan = rom.tb_scan(scan_idx, log2)
         coeffs = blk[scan[:, 0], scan[:, 1]]
@@ -477,6 +530,10 @@ class SliceDecoder(_Walker):
         self.nxn8 = np.zeros((h8, w8), bool)
         self.cbf4 = np.zeros((h8 * 2, w8 * 2), bool)
         self.csel8 = np.full((h8, w8), 4, np.int32)
+        self.tusz8 = np.zeros((h8, w8), np.int32)  # leaf TU log2 per slot
+        self.ts4 = np.zeros((h8 * 2, w8 * 2), bool)    # luma 4x4 TS flags
+        self.ts_c = {1: np.zeros((h8, w8), bool),      # chroma 4x4 TS flags
+                     2: np.zeros((h8, w8), bool)}
         self.cbf = {0: np.zeros((h8, w8), bool), 1: np.zeros((h8, w8), bool),
                     2: np.zeros((h8, w8), bool)}
         self.levels = {0: np.zeros((self.rc * 64, self.cc * 64), np.int32),
@@ -505,12 +562,16 @@ class SliceDecoder(_Walker):
         return self
 
     def _sao_params(self, r, c):
-        if c > 0:
-            assert self.c.decode_bin(self.ctx("sao_merge", 0)) == 0, \
-                "SAO merge unsupported by this decoder"
-        if r > 0:
-            assert self.c.decode_bin(self.ctx("sao_merge", 0)) == 0, \
-                "SAO merge unsupported by this decoder"
+        m = 0
+        if c > 0 and self.c.decode_bin(self.ctx("sao_merge", 0)):
+            m = 1
+        if m == 0 and r > 0 and self.c.decode_bin(self.ctx("sao_merge", 0)):
+            m = 2
+        if m:
+            sr, sc = (r, c - 1) if m == 1 else (r - 1, c)
+            for k in ("type", "eo", "bp", "off"):
+                self.sao[k][r, c] = self.sao[k][sr, sc]
+            return
         for cidx in range(3):
             tix = 0 if cidx == 0 else 1
             if cidx < 2:
@@ -604,6 +665,7 @@ class SliceDecoder(_Walker):
                                  pmodes[0], cmode)
 
     def _transform_tree_nxn(self, x0, y0, pmodes, cmode):
+        self.tusz8[y0 // 8, x0 // 8] = 2
         cb = bool(self.c.decode_bin(self.ctx("cbf_chroma", 0)))
         cr = bool(self.c.decode_bin(self.ctx("cbf_chroma", 0)))
         for k, (px, py) in enumerate(
@@ -624,7 +686,15 @@ class SliceDecoder(_Walker):
 
     def _transform_tree(self, x0, y0, log2, cu_log2, depth, pcb, pcr, mode,
                         cmode):
-        split = log2 > 5
+        infer_split = log2 > 5
+        present = (2 < log2 <= 5 and depth < self.cfg.max_tu_depth_intra)
+        if infer_split:
+            split = True
+        elif present:
+            split = bool(self.c.decode_bin(
+                self.ctx("split_transform_flag", 5 - log2)))
+        else:
+            split = False
         code_chroma = log2 > 2
         cb = cr = False
         if code_chroma:
@@ -632,12 +702,32 @@ class SliceDecoder(_Walker):
                 cb = bool(self.c.decode_bin(self.ctx("cbf_chroma", depth)))
             if pcr:
                 cr = bool(self.c.decode_bin(self.ctx("cbf_chroma", depth)))
-        if split:
+        if split and log2 > 3:
             h = 1 << (log2 - 1)
             for dy, dx in ((0, 0), (0, h), (h, 0), (h, h)):
                 self._transform_tree(x0 + dx, y0 + dy, log2 - 1, cu_log2,
                                      depth + 1, cb, cr, mode, cmode)
             return
+        if split:  # log2 == 3: four 4x4 luma TUs + chroma at this node
+            self.tusz8[y0 // 8, x0 // 8] = 2
+            for px, py in ((x0, y0), (x0 + 4, y0), (x0, y0 + 4),
+                           (x0 + 4, y0 + 4)):
+                cbf_l = bool(self.c.decode_bin(self.ctx("cbf_luma", 0)))
+                self.cbf4[py // 4, px // 4] = cbf_l
+                if cbf_l:
+                    self._residual(px, py, 2, 0, mode)
+                self.tu_list.append((px, py, 2, 0, mode, cbf_l))
+            self.cbf[1][y0 // 8, x0 // 8] = cb
+            self.cbf[2][y0 // 8, x0 // 8] = cr
+            if cb:
+                self._residual(x0 // 2, y0 // 2, 2, 1, cmode)
+            self.tu_list.append((x0 // 2, y0 // 2, 2, 1, cmode, cb))
+            if cr:
+                self._residual(x0 // 2, y0 // 2, 2, 2, cmode)
+            self.tu_list.append((x0 // 2, y0 // 2, 2, 2, cmode, cr))
+            return
+        s = 1 << (log2 - 3)
+        self.tusz8[y0 // 8: y0 // 8 + s, x0 // 8: x0 // 8 + s] = log2
         cbf_l = bool(self.c.decode_bin(
             self.ctx("cbf_luma", 1 if depth == 0 else 0)))
         self.cbf[0][y0 // 8, x0 // 8] = cbf_l
@@ -657,6 +747,13 @@ class SliceDecoder(_Walker):
     def _residual(self, x0, y0, log2, comp, mode):
         n = 1 << log2
         is_luma = comp == 0
+        if self.cfg.transform_skip and log2 == 2:
+            ts = bool(self.c.decode_bin(
+                self.ctx("transform_skip", 0 if is_luma else 1)))
+            if is_luma:
+                self.ts4[y0 // 4, x0 // 4] = ts
+            else:
+                self.ts_c[comp][y0 // 4, x0 // 4] = ts
         scan_idx = rom.coef_scan_idx(mode, log2, is_luma)
         scan = rom.tb_scan(scan_idx, log2)
         coeffs = np.zeros(n * n, np.int32)

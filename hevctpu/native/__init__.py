@@ -87,7 +87,9 @@ def _load():
         ctypes.c_int, ctypes.c_int, ctypes.c_int,
         i32p, i32p, i32p, u8p, u8p, u8p, u8p, u8p, i32p, i32p, i32p,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
-        ctypes.c_int, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int]
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p, ctypes.c_int,
+        ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int]
     _lib = lib
     return _lib
 
@@ -97,7 +99,9 @@ def available() -> bool:
 
 
 def encode_slice_data(width: int, height: int, qp: int,
-                      frame: dict, i: int, sbh: bool = True) -> bytes:
+                      frame: dict, i: int, sbh: bool = True,
+                      max_tu_depth: int = 0,
+                      transform_skip: bool = False) -> bytes:
     """Serialize frame i's decision arrays to slice-data bytes.
 
     Byte-identical to codec/syntax.py SliceEncoder minus the slice header
@@ -124,16 +128,33 @@ def encode_slice_data(width: int, height: int, qp: int,
     lv = [np.ascontiguousarray(frame[k][i], np.int32)
           for k in ("levels_y", "levels_u", "levels_v")]
     if "sao_type" in frame:
+        keys = ["type", "eo", "bp", "off"]
+        if "sao_merge" in frame:
+            keys.append("merge")
         sa = [np.ascontiguousarray(frame["sao_" + k][i], np.int32)
-              for k in ("type", "eo", "bp", "off")]
+              for k in keys]
         sp = [a.ctypes.data_as(ctypes.c_void_p) for a in sa]
+        if len(sp) < 5:
+            sp.append(None)
     else:
-        sp = [None] * 4
+        sp = [None] * 5
+    if "tusz8" in frame:
+        tz = np.ascontiguousarray(frame["tusz8"][i], np.int32)
+        tzp = tz.ctypes.data_as(ctypes.c_void_p)
+    else:
+        tzp = None
+    tsp = [None] * 3
+    if "ts4_y" in frame:
+        tsa = [np.ascontiguousarray(frame[k][i], np.uint8)
+               for k in ("ts4_y", "ts8_u", "ts8_v")]
+        tsp = [a.ctypes.data_as(ctypes.c_void_p) for a in tsa]
     cap = lv[0].size * 8 + 65536
     out = (ctypes.c_uint8 * cap)()
     n = lib.encode_slice_data(width, height, qp, d8, m4, cs8, nx8, cbf4,
                               cbf[0], cbf[1], cbf[2], lv[0], lv[1], lv[2],
-                              sp[0], sp[1], sp[2], sp[3], int(sbh), out, cap)
+                              sp[0], sp[1], sp[2], sp[3], sp[4], int(sbh),
+                              tzp, int(max_tu_depth), int(transform_skip),
+                              tsp[0], tsp[1], tsp[2], out, cap)
     if n < 0:
         raise RuntimeError("native entropy: output overflow")
     return bytes(bytearray(out)[:n])

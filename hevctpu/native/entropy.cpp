@@ -290,7 +290,9 @@ struct SliceEnc {
   const int32_t* depth8;
   const int32_t* mode4;  // per-4x4 luma modes (PU granularity)
   const uint8_t* nxn8 = nullptr;   // PART_NxN flag per 8x8 CU slot
-  const uint8_t* cbf4 = nullptr;   // luma cbf per 4x4 (NxN TUs)
+  const uint8_t* cbf4 = nullptr;   // luma cbf per 4x4 (NxN / split-4 TUs)
+  const int32_t* tusz8 = nullptr;  // leaf TU log2 per 8x8 slot (2..5)
+  int max_tu_depth = 0;            // sps max_transform_hierarchy_depth_intra
   const int32_t* csel8;
   const uint8_t* cbf[3];
   const int32_t* levels[3];
@@ -300,7 +302,12 @@ struct SliceEnc {
   const int32_t* sao_eo = nullptr;
   const int32_t* sao_bp = nullptr;
   const int32_t* sao_off = nullptr;
+  const int32_t* sao_merge = nullptr;  // 0 new, 1 left, 2 up
   bool sbh = false;  // pps sign_data_hiding_enabled_flag
+  bool transform_skip = false;     // pps transform_skip_enabled_flag
+  const uint8_t* ts4 = nullptr;    // luma 4x4 TS flags [h4 * w4]
+  const uint8_t* ts8_u = nullptr;  // chroma 4x4 TS flags [h8 * w8]
+  const uint8_t* ts8_v = nullptr;
   BitWriter bw;
   Cabac c;
 
@@ -353,8 +360,10 @@ struct SliceEnc {
 
   // sao() for one CTU (7.3.8.3; mirrors syntax.py SliceEncoder._sao_params)
   void sao_params(int r, int col) {
-    if (col > 0) c.bin(CTX_SAO_MERGE, 0);
-    if (r > 0) c.bin(CTX_SAO_MERGE, 0);
+    int m = sao_merge != nullptr ? sao_merge[r * cc + col] : 0;
+    if (col > 0) c.bin(CTX_SAO_MERGE, m == 1 ? 1 : 0);
+    if (m != 1 && r > 0) c.bin(CTX_SAO_MERGE, m == 2 ? 1 : 0);
+    if (m) return;
     int ctu = r * cc + col;
     for (int cidx = 0; cidx < 3; cidx++) {
       int tix = cidx == 0 ? 0 : 1;
@@ -488,7 +497,13 @@ struct SliceEnc {
 
   void transform_tree(int x0, int y0, int log2, int depth, bool pcb, bool pcr,
                       int mode, int cmode) {
-    bool split = log2 > 5;
+    // 7.3.8.8 with explicit split_transform_flag down to max_tu_depth
+    // (mirrors syntax.py SliceEncoder._transform_tree).
+    bool infer_split = log2 > 5;
+    int tz = tusz8 != nullptr ? tusz8[(y0 / 8) * w8 + x0 / 8] : log2;
+    bool present = log2 > 2 && log2 <= 5 && depth < max_tu_depth;
+    bool split = infer_split || (present && tz < log2);
+    if (present) c.bin(CTX_SPLIT_TRANSFORM_FLAG + (5 - log2), split ? 1 : 0);
     bool code_chroma = log2 > 2;
     bool cb = node_cbf(1, x0, y0, log2);
     bool cr = node_cbf(2, x0, y0, log2);
@@ -496,13 +511,25 @@ struct SliceEnc {
       if (pcb) c.bin(CTX_CBF_CHROMA + depth, cb ? 1 : 0);
       if (pcr) c.bin(CTX_CBF_CHROMA + depth, cr ? 1 : 0);
     }
-    if (split) {
+    if (split && log2 > 3) {
       int half = 1 << (log2 - 1);
       transform_tree(x0, y0, log2 - 1, depth + 1, cb, cr, mode, cmode);
       transform_tree(x0 + half, y0, log2 - 1, depth + 1, cb, cr, mode, cmode);
       transform_tree(x0, y0 + half, log2 - 1, depth + 1, cb, cr, mode, cmode);
       transform_tree(x0 + half, y0 + half, log2 - 1, depth + 1, cb, cr, mode,
                      cmode);
+      return;
+    }
+    if (split) {  // log2 == 3: four 4x4 luma TUs, chroma stays at this node
+      int w4 = w8 * 2;
+      for (int p = 0; p < 4; p++) {
+        int px = x0 + (p % 2) * 4, py = y0 + (p / 2) * 4;
+        bool cbf_l = cbf4[(py / 4) * w4 + px / 4] != 0;
+        c.bin(CTX_CBF_LUMA, cbf_l ? 1 : 0);
+        if (cbf_l) residual(px, py, 2, 0, mode);
+      }
+      if (cb) residual(x0 / 2, y0 / 2, 2, 1, cmode);
+      if (cr) residual(x0 / 2, y0 / 2, 2, 2, cmode);
       return;
     }
     bool cbf_l = cbf[0][(y0 / 8) * w8 + x0 / 8] != 0;
@@ -566,6 +593,17 @@ struct SliceEnc {
     int n = 1 << log2;
     bool is_luma = comp == 0;
     int stride = is_luma ? wl : wc;
+    if (transform_skip && log2 == 2) {
+      // transform_skip_flag (7.3.8.11, first element of residual_coding)
+      bool ts = false;
+      if (is_luma) {
+        if (ts4 != nullptr) ts = ts4[(y0 / 4) * (w8 * 2) + x0 / 4] != 0;
+      } else {
+        const uint8_t* m = comp == 1 ? ts8_u : ts8_v;
+        if (m != nullptr) ts = m[(y0 / 4) * w8 + x0 / 4] != 0;
+      }
+      c.bin(CTX_TRANSFORM_SKIP + (is_luma ? 0 : 1), ts ? 1 : 0);
+    }
     const int32_t* lv = levels[comp];
     int scan_idx = coef_scan_idx(mode, log2, is_luma);
     const std::vector<uint16_t>& scan = kScans.tb[scan_idx][log2 - 2];
@@ -709,15 +747,25 @@ int encode_slice_data(int width, int height, int qp, const int32_t* depth8,
                       const int32_t* levels_u, const int32_t* levels_v,
                       const int32_t* sao_type, const int32_t* sao_eo,
                       const int32_t* sao_bp, const int32_t* sao_off,
-                      int sbh, uint8_t* out, int out_cap) {
+                      const int32_t* sao_merge, int sbh, const int32_t* tusz8, int max_tu_depth,
+                      int transform_skip, const uint8_t* ts4,
+                      const uint8_t* ts8_u, const uint8_t* ts8_v,
+                      uint8_t* out, int out_cap) {
   SliceEnc enc(width, height, qp, depth8, mode4, csel8, cbf_y, cbf_u, cbf_v,
                levels_y, levels_u, levels_v);
   enc.nxn8 = nxn8;
   enc.cbf4 = cbf4;
+  enc.tusz8 = tusz8;
+  enc.max_tu_depth = max_tu_depth;
+  enc.transform_skip = transform_skip != 0;
+  enc.ts4 = ts4;
+  enc.ts8_u = ts8_u;
+  enc.ts8_v = ts8_v;
   enc.sao_type = sao_type;
   enc.sao_eo = sao_eo;
   enc.sao_bp = sao_bp;
   enc.sao_off = sao_off;
+  enc.sao_merge = sao_merge;
   enc.sbh = sbh != 0;
   enc.encode();
   int n = static_cast<int>(enc.bw.bytes.size());

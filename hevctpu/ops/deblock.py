@@ -38,16 +38,19 @@ def _clip3(lo, hi, x):
     return jnp.clip(x, lo, hi)
 
 
-def tu_edge_mask(depth8: jnp.ndarray, w: int) -> jnp.ndarray:
+def tu_edge_mask(tusz8: jnp.ndarray, w: int) -> jnp.ndarray:
     """Vertical TU-edge flags on the luma 8-grid.
 
-    depth8 [..., S_y, S_x]; returns bool [..., S_y, S_x] — True when the
-    left edge of slot (sy, sx) is a TU boundary inside the picture.
-    All-Intra: bS = 2 exactly on these edges. (Horizontal edges use the
-    same function on the transposed depth map.)"""
-    tl = jnp.minimum(6 - depth8, 5)                 # TU log2 per slot
+    tusz8 [..., S_y, S_x] = leaf TU log2 per 8x8 slot (2..5; TU splits make
+    this finer than the CU size — HEVC deblocks TRANSFORM boundaries,
+    8.7.2, TComLoopFilter xSetEdgefilterTU); returns bool [..., S_y, S_x] —
+    True when the left edge of slot (sy, sx) is a TU boundary inside the
+    picture. All-Intra: bS = 2 exactly on these edges. 4x4 TUs (value 2)
+    clip to the 8-grid — sub-8 edges are never filtered. (Horizontal edges
+    use the same function on the transposed map.)"""
+    tl = jnp.clip(tusz8, 3, 5)                      # deblock grid is 8x8
     step8 = (1 << (tl - 3)).astype(jnp.int32)       # TU size in slots
-    pos = jnp.asarray(np.arange(depth8.shape[-1]))[None, :]
+    pos = jnp.asarray(np.arange(tusz8.shape[-1]))[None, :]
     aligned = (pos % step8) == 0
     inside = (pos > 0) & (pos * 8 < w)
     return aligned & inside
@@ -159,13 +162,14 @@ def _chroma_vertical(plane: jnp.ndarray, edge_rows: jnp.ndarray, qp_c: int,
     return blk.reshape(b, h, w)
 
 
-def deblock_frame(y, u, v, depth8, qp: int, h: int, w: int,
+def deblock_frame(y, u, v, tusz8, qp: int, h: int, w: int,
                   bit_depth: int = 8):
     """Full-frame deblocking: vertical edges of all 3 planes, then
     horizontal edges on the transposed result (spec filter order).
 
     y [B, HP, WP], u/v [B, HP/2, WP/2] (CTU-padded recon; only in-picture
-    edges filter), depth8 [B, HP/8, WP/8]. Returns the filtered planes.
+    edges filter), tusz8 [B, HP/8, WP/8] leaf TU log2 per slot. Returns
+    the filtered planes.
     """
     qp_c = rom.chroma_qp_from_luma(qp)
 
@@ -182,9 +186,9 @@ def deblock_frame(y, u, v, depth8, qp: int, h: int, w: int,
         return yy, uu, vv
 
     # vertical pass, then horizontal pass = vertical pass on the transpose
-    y, u, v = run(y, u, v, depth8, w)
+    y, u, v = run(y, u, v, tusz8, w)
     yt, ut, vt = (jnp.swapaxes(p, -1, -2) for p in (y, u, v))
-    d8t = jnp.swapaxes(depth8, -1, -2)
+    d8t = jnp.swapaxes(tusz8, -1, -2)
     yt, ut, vt = run(yt, ut, vt, d8t, h)
     return (jnp.swapaxes(yt, -1, -2), jnp.swapaxes(ut, -1, -2),
             jnp.swapaxes(vt, -1, -2))

@@ -55,8 +55,10 @@ def eo_category(p: jnp.ndarray, cls: int, h: int, w: int) -> jnp.ndarray:
     dy, dx = EO_NEIGHBORS[cls]
     a = _shift2(p, -dy, -dx)
     b = _shift2(p, dy, dx)
-    e = 2 + jnp.sign(p - a) + jnp.sign(p - b)
-    cat = jnp.choose(e.astype(jnp.int32), [1, 2, 0, 3, 4], mode="clip")
+    e = (2 + jnp.sign(p - a) + jnp.sign(p - b)).astype(jnp.int32)
+    # remap 0,1,2,3,4 -> 1,2,0,3,4 with selects (jnp.choose lowers to a
+    # per-pixel gather, which is slow on TPU).
+    cat = jnp.where(e < 2, e + 1, jnp.where(e == 2, 0, e))
     yy = jnp.arange(p.shape[1])[:, None]
     xx = jnp.arange(p.shape[2])[None, :]
     ok = ((yy - abs(dy) >= 0) & (yy + abs(dy) < h)
@@ -101,17 +103,16 @@ def ctu_stats(org: jnp.ndarray, rec: jnp.ndarray, h: int, w: int,
     eo_cnt = jnp.stack(eo_cnt, axis=-2)                 # [B,rc,cc,4,4]
     eo_sum = jnp.stack(eo_sum, axis=-2)
 
+    # BO histogram as 32 masked block reductions (a segment_sum scatter
+    # serializes badly on TPU; plain masks + reshape-reductions vectorize).
     band = band_index(rec)
-    ctu_id = (jnp.arange(b)[:, None, None] * (rc * cc)
-              + (yy // span)[None] * cc + (xx // span)[None])
-    seg = (ctu_id * 32 + band).reshape(-1)
-    nseg = b * rc * cc * 32
-    ones = jnp.broadcast_to(inside[None], diff.shape).astype(
-        jnp.int32).reshape(-1)
-    bo_cnt = jax.ops.segment_sum(ones, seg, num_segments=nseg)
-    bo_sum = jax.ops.segment_sum(diff.reshape(-1), seg, num_segments=nseg)
+    bo_cnt, bo_sum = [], []
+    for k in range(32):
+        m = (band == k) & inside[None]
+        bo_cnt.append(_block_sum(m.astype(jnp.int32), span))
+        bo_sum.append(_block_sum(jnp.where(m, diff, 0), span))
     return (eo_cnt, eo_sum,
-            bo_cnt.reshape(b, rc, cc, 32), bo_sum.reshape(b, rc, cc, 32))
+            jnp.stack(bo_cnt, axis=-1), jnp.stack(bo_sum, axis=-1))
 
 
 def _best_offset(cnt, sm, sign: int, lam: float):
@@ -164,13 +165,43 @@ def derive_component(eo_cnt, eo_sum, bo_cnt, bo_sum, lam: float,
     return eo_j, eo_off, bo_j, bo_pos, bo_off
 
 
+def _eval_params(stats, typ, cls, bp, off, dist_w: float):
+    """ΔD of applying the given SAO params to one component's CTU stats.
+
+    stats = (eo_cnt [..,4,4], eo_sum, bo_cnt [..,32], bo_sum); typ/cls/bp
+    [B,rc,cc]; off [B,rc,cc,4]. ΔD(o) = o²·cnt − 2·o·sum per category
+    (HM's estSaoDist). Returns dist_w-weighted ΔD [B,rc,cc]."""
+    eo_cnt, eo_sum, bo_cnt, bo_sum = stats
+    offf = off.astype(jnp.float32)
+    cls_i = cls[..., None, None].astype(jnp.int32)
+    cnt_c = jnp.take_along_axis(eo_cnt, cls_i, axis=-2)[..., 0, :]
+    sum_c = jnp.take_along_axis(eo_sum, cls_i, axis=-2)[..., 0, :]
+    dd_eo = jnp.sum(offf ** 2 * cnt_c.astype(jnp.float32)
+                    - 2.0 * offf * sum_c.astype(jnp.float32), axis=-1)
+    idx = bp[..., None].astype(jnp.int32) + jnp.arange(4)
+    idx = jnp.clip(idx, 0, 31)
+    cnt_b = jnp.take_along_axis(bo_cnt, idx, axis=-1)
+    sum_b = jnp.take_along_axis(bo_sum, idx, axis=-1)
+    dd_bo = jnp.sum(offf ** 2 * cnt_b.astype(jnp.float32)
+                    - 2.0 * offf * sum_b.astype(jnp.float32), axis=-1)
+    dd = jnp.where(typ == 2, dd_eo, jnp.where(typ == 1, dd_bo, 0.0))
+    return dist_w * dd
+
+
 def decide_params(y_stats, u_stats, v_stats, qp: int, qp_c: int):
     """Full per-CTU SAO decision for a frame.
 
     y/u/v_stats are ctu_stats() tuples. Luma decides alone; Cb and Cr share
     type and EO class (the reference's joint chroma decision,
-    TEncSampleAdaptiveOffset::decideBlkParams). Returns the parameter
-    arrays of the module docstring."""
+    TEncSampleAdaptiveOffset::decideBlkParams). Merge-left/up candidates
+    are evaluated densely against each neighbor's new-params choice
+    (deriveModeMergeRDO semantics, TEncSampleAdaptiveOffset.cpp:617-814):
+    a CTU merges only from a neighbor that keeps its own new params, which
+    makes the whole decision two dense passes instead of a raster scan.
+    Returns (sao_type, sao_eo, sao_bp, sao_off, sao_merge) — the parameter
+    arrays of the module docstring plus the per-CTU merge mode
+    (0 new, 1 left, 2 up); type/eo/bp/off are the FINAL (post-merge)
+    params every reconstruction path applies."""
     lam = rate.lambda_rd(qp)
     w_c = rate.chroma_dist_weight(qp, qp_c)
 
@@ -188,10 +219,10 @@ def decide_params(y_stats, u_stats, v_stats, qp: int, qp_c: int):
         k = jnp.argmin(cand, axis=-1).astype(jnp.int32)
         typ = jnp.where(k == 0, 0, jnp.where(k == 1, 1, 2))
         cls = jnp.maximum(k - 2, 0)
-        return typ, cls
+        return typ, cls, jnp.min(cand, axis=-1)
 
-    typ_y, cls_y = pick(ey, by, 2 + 2, 2 + 5, 1)
-    typ_c, cls_c = pick(eu + ev, bu + bv, 2 + 2, 2 + 5 + 5, 1)
+    typ_y, cls_y, j_y = pick(ey, by, 2 + 2, 2 + 5, 1)
+    typ_c, cls_c, j_c = pick(eu + ev, bu + bv, 2 + 2, 2 + 5 + 5, 1)
 
     sao_type = jnp.stack([typ_y, typ_c], axis=-1)
     sao_eo = jnp.stack([cls_y, cls_c], axis=-1)
@@ -206,39 +237,91 @@ def decide_params(y_stats, u_stats, v_stats, qp: int, qp_c: int):
     sao_off = jnp.stack([comp_off(typ_y, cls_y, eoy, boy),
                          comp_off(typ_c, cls_c, eou, bou),
                          comp_off(typ_c, cls_c, eov, bov)], axis=-2)
+
+    # -- merge-left / merge-up RD -----------------------------------------
+    j_new = j_y + j_c + lam * 1.2          # two merge-flag zero bins
+
+    def shift_params(axis):
+        """Neighbor's params viewed from each CTU (left: axis=2, up: 1)."""
+        def sh(x):
+            pad = [(0, 0)] * x.ndim
+            pad[axis] = (1, 0)
+            sl = [slice(None)] * x.ndim
+            sl[axis] = slice(0, x.shape[axis] - 1)
+            return jnp.pad(x[tuple(sl)], pad)
+        return sh(sao_type), sh(sao_eo), sh(sao_bp), sh(sao_off)
+
+    def j_of(params):
+        t2, e2, b3, o34 = params
+        j = _eval_params(y_stats, t2[..., 0], e2[..., 0], b3[..., 0],
+                         o34[..., 0, :], 1.0)
+        j += _eval_params(u_stats, t2[..., 1], e2[..., 1], b3[..., 1],
+                          o34[..., 1, :], w_c)
+        j += _eval_params(v_stats, t2[..., 1], e2[..., 1], b3[..., 2],
+                          o34[..., 2, :], w_c)
+        return j
+
+    b_, rc_, cc_ = typ_y.shape
+    col = jnp.arange(cc_)[None, None, :]
+    row = jnp.arange(rc_)[None, :, None]
+    pl = shift_params(2)
+    pu_ = shift_params(1)
+    j_left = jnp.where(col > 0, j_of(pl) + lam * 0.6, jnp.inf)
+    j_up = jnp.where(row > 0, j_of(pu_) + lam * 1.2, jnp.inf)
+
+    cand = jnp.stack([j_new, j_left, j_up], axis=-1)
+    prov = jnp.argmin(cand, axis=-1).astype(jnp.int32)
+    # a merge is only kept when the source CTU keeps its own new params
+    # (so the copied params equal the evaluated ones; dropping a merge is
+    # always stream-legal and never invalidates another decision).
+    left_new = jnp.pad(prov[:, :, :-1] == 0, ((0, 0), (0, 0), (1, 0)))
+    up_new = jnp.pad(prov[:, :-1, :] == 0, ((0, 0), (1, 0), (0, 0)))
+    merge = jnp.where((prov == 1) & left_new, 1,
+                      jnp.where((prov == 2) & up_new, 2, 0))
+
+    def apply_merge(x, nbr_l, nbr_u):
+        m = merge.reshape(merge.shape + (1,) * (x.ndim - 3))
+        return jnp.where(m == 1, nbr_l, jnp.where(m == 2, nbr_u, x))
+
+    sao_type = apply_merge(sao_type, pl[0], pu_[0])
+    sao_eo = apply_merge(sao_eo, pl[1], pu_[1])
+    sao_bp = apply_merge(sao_bp, pl[2], pu_[2])
+    sao_off = apply_merge(sao_off, pl[3], pu_[3])
     return (sao_type.astype(jnp.int32), sao_eo.astype(jnp.int32),
-            sao_bp.astype(jnp.int32), sao_off.astype(jnp.int32))
+            sao_bp.astype(jnp.int32), sao_off.astype(jnp.int32),
+            merge.astype(jnp.int32))
 
 
 def apply_sao(rec, sao_type, sao_eo, sao_bp, sao_off, comp: int, h: int,
               w: int, span: int = 64, bit_depth: int = 8):
     """Apply SAO params to one plane [B,HP,WP] -> filtered plane."""
     b, hp, wp = rec.shape
+    rc, cc = hp // span, wp // span
     tix = 0 if comp == 0 else 1
 
     def up(x):
-        return jnp.repeat(jnp.repeat(x, span, axis=1), span, axis=2)
+        # [B,rc,cc] -> [B,HP,WP] by pure broadcast+reshape (no gathers).
+        return jnp.broadcast_to(
+            x[:, :, None, :, None],
+            (b, rc, span, cc, span)).reshape(b, hp, wp)
 
     t_pix = up(sao_type[..., tix])
     eo_pix = up(sao_eo[..., tix])
     bp_pix = up(sao_bp[..., comp])
-    off_up = jnp.repeat(jnp.repeat(sao_off[..., comp, :], span, axis=1),
-                        span, axis=2)                    # [B,HP,WP,4]
 
     cat = jnp.zeros_like(rec)
     for cls in range(4):
         cat = jnp.where(eo_pix == cls, eo_category(rec, cls, h, w), cat)
-    eo_val = jnp.where(
-        cat > 0,
-        jnp.take_along_axis(off_up, jnp.maximum(cat - 1, 0)[..., None],
-                            axis=-1)[..., 0], 0)
-
     bidx = band_index(rec, bit_depth) - bp_pix
-    bo_ok = (bidx >= 0) & (bidx < 4)
-    bo_val = jnp.where(
-        bo_ok,
-        jnp.take_along_axis(off_up, jnp.clip(bidx, 0, 3)[..., None],
-                            axis=-1)[..., 0], 0)
+
+    # offset selection as a masked sum over the 4 offset slots — a
+    # per-pixel take_along_axis gather is far slower on TPU.
+    eo_val = jnp.zeros_like(rec)
+    bo_val = jnp.zeros_like(rec)
+    for k in range(4):
+        off_k = up(sao_off[..., comp, k])
+        eo_val = eo_val + jnp.where(cat == k + 1, off_k, 0)
+        bo_val = bo_val + jnp.where(bidx == k, off_k, 0)
 
     delta = jnp.where(t_pix == 2, eo_val, jnp.where(t_pix == 1, bo_val, 0))
     maxv = (1 << bit_depth) - 1

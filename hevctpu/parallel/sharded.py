@@ -73,10 +73,12 @@ class ShardedEncoder:
         else:
             labels = jnp.full((y.shape[0], g.rc * g.cc, 16),
                               self.fixed_depth, jnp.int32)
-        return self.enc._encode_impl(y.astype(jnp.int32),
-                                     u.astype(jnp.int32),
-                                     v.astype(jnp.int32),
-                                     labels.astype(jnp.int32))
+        out = self.enc._encode_impl(y.astype(jnp.int32),
+                                    u.astype(jnp.int32),
+                                    v.astype(jnp.int32),
+                                    labels.astype(jnp.int32))
+        out["labels"] = labels.astype(jnp.int8)
+        return out
 
     def encode(self, y, u, v):
         """y [B,H,W], u/v [B,H/2,W/2] -> dict of numpy arrays (see

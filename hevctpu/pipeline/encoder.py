@@ -211,11 +211,11 @@ def _dense_costs(plane: jnp.ndarray, geom: Geometry, n: int,
 _MODE_IDX = np.arange(35, dtype=np.int32)
 
 
-def _mpm_mode_bits(best: jnp.ndarray, lam: float) -> jnp.ndarray:
-    """λ-scaled signaling cost of each mode [B, R, C, 35] given the grid of
-    provisional neighbor decisions `best` [B, R, C] (H.265 8.4.2 MPM rule;
-    the reference adds the analogous λ·xModeBitsIntra term to every
-    candidate cost, TEncSearch.cpp:2296-2320,5530)."""
+def _mpm_modes(best: jnp.ndarray):
+    """3-entry MPM list per grid position (H.265 8.4.2) derived from the
+    grid of provisional neighbor decisions `best` [B, R, C] (left/above
+    same-size neighbors; unavailable counts as DC). Returns (m0, m1, m2)
+    each [B, R, C] int32."""
     left = jnp.pad(best[:, :, :-1], ((0, 0), (0, 0), (1, 0)),
                    constant_values=rom.DC_IDX)
     above = jnp.pad(best[:, :-1, :], ((0, 0), (1, 0), (0, 0)),
@@ -232,41 +232,143 @@ def _mpm_mode_bits(best: jnp.ndarray, lam: float) -> jnp.ndarray:
     m2_ne = jnp.where(~has_pl, rom.PLANAR_IDX,
                       jnp.where(~has_dc, rom.DC_IDX, rom.VER_IDX))
     m2 = jnp.where(eq, m2_eq, m2_ne)
+    return (m0.astype(jnp.int32), m1.astype(jnp.int32), m2.astype(jnp.int32))
 
-    modes = jnp.asarray(_MODE_IDX)                    # [35]
-    is0 = modes == m0[..., None]
-    is1 = modes == m1[..., None]
-    is2 = modes == m2[..., None]
-    # bins: mpm flag ~0.8 + tu idx (1 or 2 bypass); non-mpm: flag + 5 bypass
-    bits = jnp.where(is0, 1.8, jnp.where(is1 | is2, 2.8, 5.8))
-    return (lam * bits).astype(jnp.float32)
+
+def _mode_bits_at(cand: jnp.ndarray, m0, m1, m2, scale: float) -> jnp.ndarray:
+    """scale-weighted signaling cost of the candidate modes [..., K] given
+    the MPM triple [...] (the reference's λ·xModeBitsIntra term,
+    TEncSearch.cpp:2296-2320,5530). bins: mpm flag ~0.8 + tu idx (1 or 2
+    bypass); non-mpm: flag + 5 bypass."""
+    is0 = cand == m0[..., None]
+    is12 = (cand == m1[..., None]) | (cand == m2[..., None])
+    bits = jnp.where(is0, 1.8, jnp.where(is12, 2.8, 5.8))
+    return (scale * bits).astype(jnp.float32)
+
+
+def _dense_rd_candidates(plane: jnp.ndarray, geom: Geometry, n: int,
+                         cand: jnp.ndarray, qp: int, lam: float, *,
+                         is_luma: bool = True, scale: int = 1) -> jnp.ndarray:
+    """Full-RD cost of the selected candidate modes at every aligned
+    n x n position: predict (all 35, one MXU matmul) -> gather the K
+    candidates -> transform + quant + rate estimate only for those.
+
+    plane [B, hp, wp]; cand [B, R, C, K] int32. Returns [B, R, C, K]
+    float32 (residual RD only — mode-signaling bits are the caller's).
+    This is the reference's pass-2 structure (full RD over the 3..8
+    SATD-preselected candidates + MPMs, TEncSearch.cpp:2267-2345) instead
+    of dense 35-mode RD — ~5x less transform/quant/rate work.
+    """
+    b, hp, wp = plane.shape
+    r_n, c_n = hp // n, wp // n
+    kc = cand.shape[-1]
+    bounds = intra_mm.grid_boundaries(plane, n)               # [B,R,C,4n+1]
+    av = _grid_avail(geom, n, scale)
+    blocks = to_blocked(plane, n)                             # [B,R,C,n,n]
+    log2 = int(np.log2(n))
+
+    # Chunk rows: the [B, rows, C, 35, n, n] predictions plus ~6 live
+    # [.., K, n, n] RD intermediates must stay <= ~256 MB.
+    live = 35 + 6 * kc
+    per_row = b * c_n * live * n * n * 4
+    rows_chunk = int(max(1, min(r_n, (256 << 20) // max(per_row, 1))))
+    k = -(-r_n // rows_chunk)
+    pad_r = k * rows_chunk - r_n
+
+    def pad_rows(x):
+        return jnp.pad(x, [(0, 0), (0, pad_r)] + [(0, 0)] * (x.ndim - 2))
+
+    bd = pad_rows(bounds).reshape(b, k, rows_chunk, c_n, 4 * n + 1)
+    bk = pad_rows(blocks).reshape(b, k, rows_chunk, c_n, n, n)
+    cd = pad_rows(cand).reshape(b, k, rows_chunk, c_n, kc)
+    avp = np.pad(av, [(0, pad_r), (0, 0), (0, 0)])
+    avk = jnp.asarray(avp.reshape(k, rows_chunk, c_n, 4 * n + 1))
+
+    def chunk_fn(args):
+        bd_c, bk_c, cd_c, av_c = args
+        filled = intra.fill_reference(bd_c, jnp.broadcast_to(av_c, bd_c.shape))
+        top_e, left_e = intra.split_boundary(filled, n)
+        top_f, left_f = intra.smooth_reference(top_e, left_e, n)
+        preds = intra_mm.predict_all_modes_mm(top_e, left_e, top_f, left_f, n,
+                                              is_luma=is_luma)
+        sel = jnp.take_along_axis(
+            preds, cd_c[..., None, None].astype(jnp.int32), axis=-3)
+        rdc, _, _ = rd.mode_rd_costs(sel, bk_c, log2, qp, lam=lam,
+                                     dst=(is_luma and n == 4))
+        return rdc
+
+    if k == 1:
+        costs = chunk_fn((bd[:, 0], bk[:, 0], cd[:, 0], avk[0]))[:, None]
+    else:
+        costs = jax.lax.map(
+            chunk_fn, (jnp.moveaxis(bd, 1, 0), jnp.moveaxis(bk, 1, 0),
+                       jnp.moveaxis(cd, 1, 0), avk))
+        costs = jnp.moveaxis(costs, 0, 1)
+    return costs.reshape(b, k * rows_chunk, c_n, kc)[:, :r_n]
+
+
+# SATD-preselection candidate count per block size (the reference's
+# g_aucIntraModeNumFast_UseMPM = {3,8,8,3,3,3} for 2..64, TComRom.cpp:
+# 544-552); the 3 MPMs are force-included on top (TEncSearch.cpp:2322-2345).
+_NUM_CAND = {4: 8, 8: 8, 16: 3, 32: 3, 64: 3}
+
+
+def _pass1_candidates(satd: jnp.ndarray, lam: float, n: int):
+    """HM's pass-1 preselection: SATD + sqrt(λ)·mode-bits, keep top-N, then
+    force-include the 3 MPMs. satd [B, R, C, 35] -> (cand [B,R,C,N+3],
+    (m0,m1,m2)). MPMs derive from the provisional SATD argmin grid."""
+    prov = jnp.argmin(satd, axis=-1).astype(jnp.int32)
+    m0, m1, m2 = _mpm_modes(prov)
+    sqlam = float(np.sqrt(lam))
+    all_modes = jnp.broadcast_to(jnp.asarray(_MODE_IDX),
+                                 satd.shape)
+    p1 = satd.astype(jnp.float32) + _mode_bits_at(all_modes, m0, m1, m2,
+                                                  sqlam)
+    _, topn = jax.lax.top_k(-p1, _NUM_CAND[n])
+    cand = jnp.concatenate(
+        [topn.astype(jnp.int32), m0[..., None], m1[..., None],
+         m2[..., None]], axis=-1)
+    return cand, (m0, m1, m2)
 
 
 def _dense_mode_decision(plane: jnp.ndarray, geom: Geometry, qp: int):
     """RD-best mode + cost for every CU/PU position at every depth.
 
-    Returns (modes {n: [B, R, C] int32}, costs {n: [B, R, C] float32}) for
-    n in (64, 32, 16, 8, 4). RD = transform-domain SSE + λ(residual bits +
-    MPM-aware mode bits). The 64-CU entry pools its four 32x32 quadrants
-    per mode (a 64 CU codes as four 32x32 TUs — max TU is 32); the 4 entry
-    is the per-PU cost of PART_NxN at depth 3 (4x4 DST TUs,
-    TEncCu.cpp:815-827)."""
+    Two-pass, exactly the reference's structure vectorized: pass 1 scores
+    all 35 modes by SATD + sqrt(λ)·mode-bits everywhere (one fused kernel),
+    pass 2 full-RDs only the top-N + 3 MPM candidates
+    (TEncSearch.cpp:2203-2345). Returns (modes {n: [B, R, C] int32},
+    costs {n: [B, R, C] float32}) for n in (64, 32, 16, 8, 4); costs
+    include residual + λ·mode-signaling bits. The 64 entry evaluates its
+    candidates as four 32x32 TUs (max TU is 32) with the mode signaled
+    once; the 4 entry is the per-PU cost of PART_NxN at depth 3
+    (TEncCu.cpp:815-827)."""
     lam = rate.lambda_rd(qp)
     modes, costs = {}, {}
-    rd32 = None
+    satd32 = None
     for n in (32, 16, 8, 4):
-        c = _dense_costs(plane, geom, n, qp, lam)
-        # two-pass MPM: provisional argmin -> neighbor-aware mode bits.
-        prov = jnp.argmin(c, axis=-1).astype(jnp.int32)
-        c = c + _mpm_mode_bits(prov, lam)
-        modes[n] = jnp.argmin(c, axis=-1).astype(jnp.int32)
-        costs[n] = jnp.min(c, axis=-1)
+        satd = _dense_costs(plane, geom, n, None, 0.0)
+        cand, (m0, m1, m2) = _pass1_candidates(satd, lam, n)
+        rdc = _dense_rd_candidates(plane, geom, n, cand, qp, lam)
+        rdc = rdc + _mode_bits_at(cand, m0, m1, m2, lam)
+        best = jnp.argmin(rdc, axis=-1)
+        modes[n] = jnp.take_along_axis(cand, best[..., None],
+                                       axis=-1)[..., 0]
+        costs[n] = jnp.min(rdc, axis=-1)
         if n == 32:
-            rd32 = c
-    b, r32, c32n = rd32.shape[:3]
-    pooled = rd32.reshape(b, r32 // 2, 2, c32n // 2, 2, 35).sum(axis=(2, 4))
-    modes[64] = jnp.argmin(pooled, axis=-1).astype(jnp.int32)
-    costs[64] = jnp.min(pooled, axis=-1)
+            satd32 = satd
+    # 64-CU: pool quadrant SATDs per mode, preselect, then RD the four
+    # 32x32 TUs at each shared candidate mode.
+    b, r32, c32n = satd32.shape[:3]
+    s64 = satd32.reshape(b, r32 // 2, 2, c32n // 2, 2, 35).sum(axis=(2, 4))
+    cand64, (m0, m1, m2) = _pass1_candidates(s64, lam, 64)
+    cand64_32 = jnp.repeat(jnp.repeat(cand64, 2, axis=1), 2, axis=2)
+    rd_q = _dense_rd_candidates(plane, geom, 32, cand64_32, qp, lam)
+    rd64 = (rd_q.reshape(b, r32 // 2, 2, c32n // 2, 2, cand64.shape[-1])
+            .sum(axis=(2, 4))) + _mode_bits_at(cand64, m0, m1, m2, lam)
+    best = jnp.argmin(rd64, axis=-1)
+    modes[64] = jnp.take_along_axis(cand64, best[..., None], axis=-1)[..., 0]
+    costs[64] = jnp.min(rd64, axis=-1)
     return modes, costs
 
 
@@ -294,14 +396,15 @@ def _dense_chroma_decision(up, vp, geom: Geometry, qp: int, qp_c: int,
     csel, cmode, ccost = {}, {}, {}
     for n in (64, 32, 16, 8):
         m = n // 2
-        rd_u = _dense_costs(up, geom, m, qp_c, lam_c, is_luma=False, scale=2)
-        rd_v = _dense_costs(vp, geom, m, qp_c, lam_c, is_luma=False, scale=2)
-        joint = rd_u + rd_v                                  # [B,R,C,35]
         lm = luma_modes[n]                                   # [B,R,C]
         cand = jnp.broadcast_to(jnp.asarray(_CHROMA_LIST), lm.shape + (4,))
         cand = jnp.where(cand == lm[..., None], 34, cand)
         cand = jnp.concatenate([cand, lm[..., None]], axis=-1)  # slot 4 = DM
-        jc = jnp.take_along_axis(joint, cand, axis=-1)       # [B,R,C,5]
+        rd_u = _dense_rd_candidates(up, geom, m, cand, qp_c, lam_c,
+                                    is_luma=False, scale=2)
+        rd_v = _dense_rd_candidates(vp, geom, m, cand, qp_c, lam_c,
+                                    is_luma=False, scale=2)
+        jc = rd_u + rd_v                                     # [B,R,C,5]
         # signaling: DM = 1 ctx bin (~0.6 b); list = 1 ctx + 2 bypass bins.
         jc = jc + jnp.asarray([2.6, 2.6, 2.6, 2.6, 0.6],
                               jnp.float32) * lam_c
@@ -357,6 +460,71 @@ def _rd_split_labels(costs: dict, qp: int) -> jnp.ndarray:
     return lab.reshape(b, rc * cc, 16).astype(jnp.int32)
 
 
+def _tu_tree_decision(plane: jnp.ndarray, geom: Geometry, qp: int,
+                      cu_log2: int, mode_cu: jnp.ndarray):
+    """Intra TU quadtree RD decision (the reference's checkFull-vs-
+    checkSplit recursion, TEncSearch::xRecurIntraCodingLumaQT,
+    TEncSearch.cpp:1430-1448, searched to max_transform_hierarchy_depth_
+    intra = 3, encoder_intra_main.cfg:26-29) — evaluated densely: for every
+    CU position of size 2^cu_log2 with per-CU mode `mode_cu` [B, Rc, Cc],
+    the RD of each TU size in the budget is computed for the whole frame at
+    once and the tree is folded bottom-up.
+
+    Returns (cost [B, Rc, Cc] best-tree luma RD, rd_full [B, Rc, Cc] the
+    unsplit-TU RD, tusz [B, h8, w8] per-slot leaf log2 ∈ {2..5} under the
+    assumption this CU size is chosen everywhere).
+    """
+    lam = rate.lambda_rd(qp)
+    # split overhead: split_transform_flag bin + duplicated chroma cbf
+    # signaling at the split node (~1 ctx bin each).
+    oh = lam * 1.8
+    top = min(cu_log2, 5)
+    bottom = max(2, cu_log2 - 3)     # MaxTrafoDepth = 3 (CU64 stops at 8)
+    b = plane.shape[0]
+
+    rd_map = {}
+    for s_log2 in range(bottom, top + 1):
+        rep = 1 << (cu_log2 - s_log2)
+        mode_s = jnp.repeat(jnp.repeat(mode_cu, rep, axis=-2), rep, axis=-1)
+        rd_map[s_log2] = _dense_rd_candidates(
+            plane, geom, 1 << s_log2, mode_s[..., None], qp, lam)[..., 0]
+
+    def pool4(x):
+        b_, r_, c_ = x.shape
+        return x.reshape(b_, r_ // 2, 2, c_ // 2, 2).sum(axis=(2, 4))
+
+    t = rd_map[bottom]
+    split = {}
+    for s_log2 in range(bottom + 1, top + 1):
+        tsplit = pool4(t) + oh
+        split[s_log2] = tsplit < rd_map[s_log2]
+        t = jnp.minimum(rd_map[s_log2], tsplit)
+
+    if top < cu_log2:                 # CU64: four 32 trees, split inferred
+        cost = pool4(t)
+        rd_full = pool4(rd_map[5])
+    else:
+        cost = t
+        rd_full = rd_map[top]
+
+    # leaf-size map at 8x8-slot granularity, top-down.
+    h8, w8 = geom.hp // 8, geom.wp // 8
+    tusz = jnp.full((b, h8, w8), top, jnp.int32)
+
+    def up_slot(x, s_log2):
+        rep = max((1 << s_log2) // 8, 1)
+        return jnp.repeat(jnp.repeat(x, rep, axis=-2), rep, axis=-1)
+
+    ex = None
+    for s_log2 in range(top, bottom, -1):
+        sp = split[s_log2]
+        if ex is not None:
+            sp = sp & ex
+        tusz = jnp.where(up_slot(sp, s_log2), s_log2 - 1, tusz)
+        ex = jnp.repeat(jnp.repeat(sp, 2, axis=-2), 2, axis=-1)
+    return cost, rd_full, tusz
+
+
 # ---------------------------------------------------------------------------
 # Stage 2: wavefront reconstruction
 # ---------------------------------------------------------------------------
@@ -380,7 +548,7 @@ def _zorder_avail_np(oy: int, ox: int, n: int, span: int) -> np.ndarray:
 
 def _tu_step_dyn(ext, levels, orig, mode, fire, oy, ox, n: int, qp, av_z, *,
                  is_luma, ctu_yx, frame_hw, span: int, rdoq_lam: float = 0.0,
-                 sbh: bool = False, dst: bool = False):
+                 sbh: bool = False, dst: bool = False, ts_lam: float = 0.0):
     """One masked TU at traced origin (oy, ox): predict -> transform ->
     quant -> dequant -> reconstruct, as dynamic slices + MXU matmuls.
 
@@ -419,12 +587,43 @@ def _tu_step_dyn(ext, levels, orig, mode, fire, oy, ox, n: int, qp, av_z, *,
         lvl = quant.quantize_rdoq(coef, log2, qp, rdoq_lam)
     else:
         lvl = quant.quantize(coef, log2, qp)
+    use_ts = jnp.zeros((ba,), bool)
+    if ts_lam > 0.0 and n == 4:
+        # transform-skip trial (TComTrQuant xTransformSkip + the RD trial
+        # loop TEncSearch.cpp:1519-1549): the scaled residual quantizes in
+        # the same dynamic range as the transform, so the two candidates
+        # compare directly in the coefficient domain.
+        from hevctpu.ops import rate as _rate
+        shift = rom.MAX_TR_DYNAMIC_RANGE - 8 - log2
+        coef_s = res * (1 << shift)
+        if rdoq_lam > 0.0:
+            lvl_s = quant.quantize_rdoq(coef_s, log2, qp, rdoq_lam)
+        else:
+            lvl_s = quant.quantize(coef_s, log2, qp)
+        dscale = 4.0 ** (log2 - 7)
+        lam_u = ts_lam / _rate.BITS_ONE
+
+        def j_cost(lv, cf):
+            err = (cf - quant.dequantize(lv, log2, qp)).astype(jnp.float32)
+            d = jnp.sum(err * err, axis=(-2, -1)) * dscale
+            return d + lam_u * _rate.estimate_tu_bits(lv, log2).astype(
+                jnp.float32)
+
+        use_ts = j_cost(lvl_s, coef_s) < j_cost(lvl, coef)
+        lvl = jnp.where(use_ts[:, None, None], lvl_s, lvl)
+        coef = jnp.where(use_ts[:, None, None], coef_s, coef)
     if sbh:
         lvl = quant.sign_bit_hide(
             lvl, coef, log2, qp, quant.scan_sel(mode, log2, is_luma))
     cbf = jnp.any(lvl != 0, axis=(-2, -1))
     deq = quant.dequantize(lvl, log2, qp)
-    rinv = transforms.inverse_transform(deq, log2, dst=dst)
+    rinv_t = transforms.inverse_transform(deq, log2, dst=dst)
+    if ts_lam > 0.0 and n == 4:
+        shift = rom.MAX_TR_DYNAMIC_RANGE - 8 - log2
+        rinv_s = (deq + (1 << (shift - 1))) >> shift
+        rinv = jnp.where(use_ts[:, None, None], rinv_s, rinv_t)
+    else:
+        rinv = rinv_t
     recon = jnp.clip(pred + rinv, 0, 255)
 
     fb = fire[:, None, None]
@@ -434,7 +633,7 @@ def _tu_step_dyn(ext, levels, orig, mode, fire, oy, ox, n: int, qp, av_z, *,
     cur_l = jax.lax.dynamic_slice(levels, (0, oy, ox), (ba, n, n))
     levels = jax.lax.dynamic_update_slice(
         levels, jnp.where(fb, lvl, cur_l), (0, oy, ox))
-    return ext, levels, cbf & fire
+    return ext, levels, cbf & fire, use_ts & cbf & fire
 
 
 @functools.lru_cache(maxsize=None)
@@ -485,7 +684,8 @@ class FrameEncoder:
 
     def __init__(self, h: int, w: int, qp: int, *, deblock: bool = True,
                  search: str = "cnn", rdoq: bool = True, sao: bool = True,
-                 sbh: bool = True, nxn: bool = True):
+                 sbh: bool = True, nxn: bool = True, tu_split: bool = True,
+                 ts: bool = True):
         assert h % 8 == 0 and w % 8 == 0, "HEVC requires dims % minCU == 0"
         assert search in ("cnn", "rd")
         self.geom = Geometry(h, w)
@@ -495,6 +695,11 @@ class FrameEncoder:
         self.sao = sao
         self.sbh = sbh
         self.nxn = nxn
+        self.tu_split = tu_split
+        self.ts = ts
+        self.ts_lam = rate.lambda_rd(qp) if ts else 0.0
+        self.ts_lam_c = (self.ts_lam
+                         / rate.chroma_dist_weight(qp, self.qp_c))
         self.search = search
         self.rdoq_lam = rate.lambda_rd(qp) if rdoq else 0.0
         # chroma RDOQ: distortion is weighted by w_c in the RD cost, so the
@@ -511,20 +716,53 @@ class FrameEncoder:
         if labels is None:
             assert self.search == "rd", "cnn search needs labels"
             labels = np.zeros((np.shape(y)[0], self.geom.rc * self.geom.cc,
-                               16), np.int32)
-        out = self._encode(jnp.asarray(y, jnp.int32), jnp.asarray(u, jnp.int32),
-                           jnp.asarray(v, jnp.int32),
-                           jnp.asarray(labels, jnp.int32))
+                               16), np.int8)
+        # ship 8-bit across the (slow) host->device link; the jitted
+        # program upcasts on device.
+        out = self._encode(jnp.asarray(np.asarray(y, np.uint8)),
+                           jnp.asarray(np.asarray(u, np.uint8)),
+                           jnp.asarray(np.asarray(v, np.uint8)),
+                           jnp.asarray(np.asarray(labels, np.int8)))
         out = {k: np.asarray(val) for k, val in out.items()}
         # record coder-affecting settings so encode_stream can refuse a
         # mismatched StreamConfig (hidden signs decode silently wrong).
         out["sbh"] = np.bool_(self.sbh)
         return out
 
+    def encode_fused(self, cnn_params: dict, y, u, v):
+        """CNN depth prediction + encode as ONE jitted device program (the
+        reference's txt-file handshake, TEncCu.cpp:243-255, as a value
+        dependency): the clip crosses the host->device link once."""
+        out = self._encode_cnn(cnn_params,
+                               jnp.asarray(np.asarray(y, np.uint8)),
+                               jnp.asarray(np.asarray(u, np.uint8)),
+                               jnp.asarray(np.asarray(v, np.uint8)))
+        out = {k: np.asarray(val) for k, val in out.items()}
+        out["sbh"] = np.bool_(self.sbh)
+        return out
+
+    @functools.cached_property
+    def _encode_cnn(self):
+        from hevctpu.models import convnet2
+
+        def impl(params, y, u, v):
+            g = self.geom
+            labels = jax.vmap(
+                lambda yy, uu, vv: convnet2.predict_frame_labels(
+                    params, yy.astype(jnp.int32), uu.astype(jnp.int32),
+                    vv.astype(jnp.int32), g.h, g.w))(y, u, v)
+            out = self._encode_impl(y, u, v, labels.astype(jnp.int32))
+            out["labels"] = labels.astype(jnp.int8)
+            return out
+
+        return jax.jit(impl)
+
     # -- implementation ----------------------------------------------------
 
     def _encode_impl(self, y, u, v, labels):
         g = self.geom
+        y, u, v = (a.astype(jnp.int32) for a in (y, u, v))
+        labels = labels.astype(jnp.int32)
         b = y.shape[0]
         yp = pad_plane(y, g.hp, g.wp)
         up = pad_plane(u, g.hp // 2, g.wp // 2)
@@ -532,6 +770,16 @@ class FrameEncoder:
 
         # Stage 1: dense RD mode decision per depth (luma, then chroma).
         modes, costs = _dense_mode_decision(yp, g, self.qp)
+
+        # Intra TU quadtree search per CU size (TEncSearch.cpp:1430-1448):
+        # replace each CU's full-TU cost with its best-tree cost and keep
+        # the per-slot leaf-size maps for stage 2 / the entropy coder.
+        tz = {}
+        if self.tu_split:
+            for n, cu_log2 in ((64, 6), (32, 5), (16, 4), (8, 3)):
+                t_cost, rd_full, tz[n] = _tu_tree_decision(
+                    yp, g, self.qp, cu_log2, modes[n])
+                costs[n] = costs[n] + (t_cost - rd_full)
 
         # PART_NxN vs PART_2Nx2N at depth 3 (the reference checks both at
         # max depth, TEncCu.cpp:815-827): four 4x4 DST TUs with their own
@@ -606,15 +854,33 @@ class FrameEncoder:
         cmode8_frame = jnp.where(nxn8_frame, resolved, cmode8_frame)
         cmode_slot = to_blocked(cmode8_frame, 8)
 
+        # Per-slot leaf TU size (log2; 2 = the 8x8 slot codes as four 4x4
+        # TUs — NxN PUs or a TU split): select the chosen CU size's tree.
+        d8f = from_blocked(depth8)
+        if self.tu_split:
+            tusz_frame = jnp.where(
+                d8f == 0, tz[64],
+                jnp.where(d8f == 1, tz[32],
+                          jnp.where(d8f == 2, tz[16], tz[8])))
+        else:
+            tusz_frame = jnp.minimum(6 - d8f, 5)
+        tusz_frame = jnp.where(nxn8_frame, 2, tusz_frame).astype(jnp.int32)
+
         # Stage 2: wavefront reconstruction.
-        out = self._reconstruct(yp, up, vp, modes, cmode_slot, depth8, coded8,
-                                nxn_slot, to_blocked(mode4_frame, 16))
+        out = self._reconstruct(yp, up, vp, mode_slot, cmode_slot,
+                                to_blocked(tusz_frame, 8), coded8,
+                                to_blocked(mode4_frame, 16))
         out["depth8"] = from_blocked(depth8)
         out["coded8"] = from_blocked(coded8)
         out["mode8"] = mode8_frame
         out["csel8"] = csel8_frame
         out["nxn8"] = nxn8_frame
         out["mode4"] = mode4_frame
+        if self.tu_split:
+            out["tusz8"] = tusz_frame
+        if not self.ts:
+            for k in ("ts4_y", "ts8_u", "ts8_v"):
+                del out[k]
 
         # In-loop filters (frame post-pass; intra prediction reads the
         # pre-filter recon, exactly as HM applies them per picture after
@@ -625,13 +891,13 @@ class FrameEncoder:
         fv = pad_plane(out["recon_v"], g.hp // 2, g.wp // 2)
         if self.deblock:
             fy, fu, fv = deblock.deblock_frame(
-                fy, fu, fv, out["depth8"], self.qp, g.h, g.w)
+                fy, fu, fv, tusz_frame, self.qp, g.h, g.w)
         if self.sao:
             ys = sao.ctu_stats(yp, fy, g.h, g.w, 64)
             us = sao.ctu_stats(up, fu, g.h // 2, g.w // 2, 32)
             vs = sao.ctu_stats(vp, fv, g.h // 2, g.w // 2, 32)
-            st, se, sbp, soff = sao.decide_params(ys, us, vs, self.qp,
-                                                  self.qp_c)
+            st, se, sbp, soff, smrg = sao.decide_params(ys, us, vs, self.qp,
+                                                        self.qp_c)
             fy = sao.apply_sao(fy, st, se, sbp, soff, 0, g.h, g.w, 64)
             fu = sao.apply_sao(fu, st, se, sbp, soff, 1, g.h // 2,
                                g.w // 2, 32)
@@ -639,14 +905,26 @@ class FrameEncoder:
                                g.w // 2, 32)
             out["sao_type"], out["sao_eo"] = st, se
             out["sao_bp"], out["sao_off"] = sbp, soff
+            out["sao_merge"] = smrg
         if self.deblock or self.sao:
             out["recon_y"] = fy[:, : g.h, : g.w]
             out["recon_u"] = fu[:, : g.h // 2, : g.w // 2]
             out["recon_v"] = fv[:, : g.h // 2, : g.w // 2]
-        return out
+        # Downcast outputs to their value ranges: the result dict crosses
+        # the (slow) device->host link, and at int32 it is ~3x larger than
+        # it needs to be. Consumers upcast at their boundaries.
+        cast = {"recon_y": jnp.uint8, "recon_u": jnp.uint8,
+                "recon_v": jnp.uint8, "levels_y": jnp.int16,
+                "levels_u": jnp.int16, "levels_v": jnp.int16,
+                "depth8": jnp.int8, "mode8": jnp.int8, "mode4": jnp.int8,
+                "csel8": jnp.int8, "tusz8": jnp.int8, "sao_type": jnp.int8,
+                "sao_eo": jnp.int8, "sao_bp": jnp.int8, "sao_off": jnp.int8,
+                "sao_merge": jnp.int8}
+        return {k: (v.astype(cast[k]) if k in cast else v)
+                for k, v in out.items()}
 
-    def _reconstruct(self, yp, up, vp, modes, cmode_slot, depth8, coded8,
-                     nxn_slot, mode4_blk):
+    def _reconstruct(self, yp, up, vp, mode_slot, cmode_slot, tusz_slot,
+                     coded8, mode4_blk):
         g = self.geom
         b = yp.shape[0]
         act_r, act_c, act_m = g.wavefront
@@ -656,10 +934,6 @@ class FrameEncoder:
         oy_b = to_blocked(yp, 64)                      # [B, rc, cc, 64, 64]
         ou_b = to_blocked(up, 32)
         ov_b = to_blocked(vp, 32)
-        m64 = modes[64]                                # [B, rc, cc]
-        m32 = to_blocked(modes[32], 2)                 # [B, rc, cc, 2, 2]
-        m16 = to_blocked(modes[16], 4)
-        m8 = to_blocked(modes[8], 8)
 
         def make_ext(top, left, span):
             """[BA, span+1+span//2, 2span+2] extended local buffer: row 0 =
@@ -676,7 +950,8 @@ class FrameEncoder:
             return jnp.concatenate([row0, body, filler], axis=1)
 
         def diagonal_body(carry, xs):
-            (ry, ru, rv, lvy, lvu, lvv, cby, cbu, cbv, cb4) = carry
+            (ry, ru, rv, lvy, lvu, lvv, cby, cbu, cbv, cb4,
+             t4b, tub, tvb) = carry
             dr, dc, dm = xs
             bi = jnp.broadcast_to(jnp.arange(b)[:, None], (b, a))
             ri = jnp.broadcast_to(dr[None, :], (b, a))
@@ -703,16 +978,12 @@ class FrameEncoder:
             top_u, left_u = strips(ru, 32)
             top_v, left_v = strips(rv, 32)
 
-            d8 = gath(depth8)                          # [BA, 8, 8]
+            tz = gath(tusz_slot)                       # [BA, 8, 8] leaf log2
             c8 = gath(coded8)
             oyl = gath(oy_b)
             ouv = jnp.concatenate([gath(ou_b), gath(ov_b)], axis=0)  # [2BA,..]
-            mm64 = gath(m64)
-            mm32 = gath(m32)
-            mm16 = gath(m16)
-            mm8 = gath(m8)
+            msl = gath(mode_slot)                      # [BA, 8, 8] CU mode
             cm8 = gath(cmode_slot)                     # [BA, 8, 8]
-            nx8 = gath(nxn_slot)                       # [BA, 8, 8]
             mm4 = gath(mode4_blk)                      # [BA, 16, 16]
 
             ctu_y = (ri * 64).reshape(ba)
@@ -728,6 +999,8 @@ class FrameEncoder:
             cy8 = jnp.zeros((ba, 8, 8), bool)
             cc8 = jnp.zeros((2 * ba, 8, 8), bool)
             cy4 = jnp.zeros((ba, 16, 16), bool)
+            ty4 = jnp.zeros((ba, 16, 16), bool)
+            tc8 = jnp.zeros((2 * ba, 8, 8), bool)
             mk_flat = mk.reshape(ba)
 
             # Z-order scan over the 16 16-pel blocks; each iteration runs a
@@ -741,18 +1014,19 @@ class FrameEncoder:
 
             def do_tu(st, mode, cmode, fire_l, fire_c, oy, ox, size, av_z,
                       av_zc, sy, sx):
-                ext_y, ext_c, vy, vc, cy8, cc8, cy4 = st
+                ext_y, ext_c, vy, vc, cy8, cc8, cy4, ty4, tc8 = st
                 fire_l = fire_l & mk_flat
                 fire2 = jnp.tile(fire_c & mk_flat, 2)
-                ext_y, vy, cbf_l = _tu_step_dyn(
+                ext_y, vy, cbf_l, _ = _tu_step_dyn(
                     ext_y, vy, oyl, mode, fire_l, oy, ox, size, self.qp, av_z,
                     is_luma=True, ctu_yx=(ctu_y, ctu_x), frame_hw=(g.h, g.w),
                     span=64, rdoq_lam=self.rdoq_lam, sbh=self.sbh)
-                ext_c, vc, cbf_c = _tu_step_dyn(
+                ext_c, vc, cbf_c, ts_c = _tu_step_dyn(
                     ext_c, vc, ouv, jnp.tile(cmode, 2), fire2, oy // 2,
                     ox // 2, size // 2, self.qp_c, av_zc, is_luma=False,
                     ctu_yx=(ctu_yc2, ctu_xc2), frame_hw=(g.h // 2, g.w // 2),
-                    span=32, rdoq_lam=self.rdoq_lam_c, sbh=self.sbh)
+                    span=32, rdoq_lam=self.rdoq_lam_c, sbh=self.sbh,
+                    ts_lam=self.ts_lam_c)
                 cy8 = jax.lax.dynamic_update_slice(
                     cy8, jnp.where(fire_l, cbf_l,
                                    pick(cy8, sy, sx))[:, None, None],
@@ -761,72 +1035,97 @@ class FrameEncoder:
                     cc8, jnp.where(fire2, cbf_c,
                                    pick(cc8, sy, sx))[:, None, None],
                     (0, sy, sx))
-                return (ext_y, ext_c, vy, vc, cy8, cc8, cy4)
+                tc8 = jax.lax.dynamic_update_slice(
+                    tc8, jnp.where(fire2, ts_c,
+                                   pick(tc8, sy, sx))[:, None, None],
+                    (0, sy, sx))
+                return (ext_y, ext_c, vy, vc, cy8, cc8, cy4, ty4, tc8)
 
             def do_tu4(st, mode, fire, oy, ox, av_z, s4y, s4x):
-                """One NxN 4x4 luma TU (DST-VII) at static origin; cbf goes
-                to the 4x4-granularity plane."""
-                ext_y, ext_c, vy, vc, cy8, cc8, cy4 = st
+                """One 4x4 luma TU (DST-VII; NxN PU or TU-split leaf) at
+                static origin; cbf/ts go to the 4x4-granularity planes."""
+                ext_y, ext_c, vy, vc, cy8, cc8, cy4, ty4, tc8 = st
                 fire = fire & mk_flat
-                ext_y, vy, cbf_l = _tu_step_dyn(
+                ext_y, vy, cbf_l, ts_l = _tu_step_dyn(
                     ext_y, vy, oyl, mode, fire, oy, ox, 4, self.qp, av_z,
                     is_luma=True, ctu_yx=(ctu_y, ctu_x), frame_hw=(g.h, g.w),
-                    span=64, rdoq_lam=self.rdoq_lam, sbh=self.sbh, dst=True)
+                    span=64, rdoq_lam=self.rdoq_lam, sbh=self.sbh, dst=True,
+                    ts_lam=self.ts_lam)
                 cy4 = jax.lax.dynamic_update_slice(
                     cy4, jnp.where(fire, cbf_l,
                                    pick(cy4, s4y, s4x))[:, None, None],
                     (0, s4y, s4x))
-                return (ext_y, ext_c, vy, vc, cy8, cc8, cy4)
+                ty4 = jax.lax.dynamic_update_slice(
+                    ty4, jnp.where(fire, ts_l,
+                                   pick(ty4, s4y, s4x))[:, None, None],
+                    (0, s4y, s4x))
+                return (ext_y, ext_c, vy, vc, cy8, cc8, cy4, ty4, tc8)
 
-            def block16_body(st, xs):
-                ty, tx, is_q, av32, av32c, av16, av16c, av8m, av8c, av4m = xs
+            def sub16_body(st, xs):
+                """TU16 + TU8 (+4x4) steps of one 16-pel block. Firing is
+                by leaf TU size (tz): a TU of size s fires where the slot's
+                leaf is s, whatever the CU size — this realizes both the
+                CU partition and the intra TU quadtree split."""
+                ty, tx, av16, av16c, av8m, av8c, av4m = xs
                 sy, sx = ty // 8, tx // 8
-                d_t = pick(d8, sy, sx)
+                tz_t = pick(tz, sy, sx)
                 coded_t = pick(c8, sy, sx)
-                # TU32 (fires only at the quadrant-leader block).
-                m32s = pick(mm32, ty // 32, tx // 32)
-                mode_a = jnp.where(d_t == 0, mm64, m32s)
-                cmode_a = pick(cm8, sy, sx)
-                fire_a = is_q & (d_t <= 1) & coded_t
-                st = do_tu(st, mode_a, cmode_a, fire_a, fire_a, ty, tx, 32,
-                           av32, av32c, sy, sx)
-                # TU16.
-                mode_b = pick(mm16, ty // 16, tx // 16)
-                fire_b = (d_t == 2) & coded_t
-                st = do_tu(st, mode_b, pick(cm8, sy, sx), fire_b, fire_b,
-                           ty, tx, 16, av16, av16c, sy, sx)
-                # TU8 x4 (z-order within the block). With PART_NxN the 8x8
-                # luma splits into four 4x4 DST TUs (own modes); the 4x4
-                # chroma TU fires either way.
+                fire_b = (tz_t == 4) & coded_t
+                st = do_tu(st, pick(msl, sy, sx), pick(cm8, sy, sx),
+                           fire_b, fire_b, ty, tx, 16, av16, av16c, sy, sx)
+                # TU8 x4 (z-order within the block). A slot with leaf 2
+                # codes four 4x4 luma TUs (NxN PUs with their own modes, or
+                # a TU split with the CU mode — mode4 carries either); its
+                # 4x4 chroma TU fires at the 8x8 step either way.
                 for e in range(4):
                     ey, ex = ty + (e // 2) * 8, tx + (e % 2) * 8
                     esy, esx = ey // 8, ex // 8
-                    d_e = pick(d8, esy, esx)
+                    tz_e = pick(tz, esy, esx)
                     coded_e = pick(c8, esy, esx)
-                    mode_e = pick(mm8, esy, esx)
-                    nxn_e = pick(nx8, esy, esx)
-                    fire_e = (d_e == 3) & coded_e
-                    st = do_tu(st, mode_e, pick(cm8, esy, esx),
-                               fire_e & ~nxn_e, fire_e, ey, ex, 8,
-                               av8m[e], av8c[e], esy, esx)
-                    if self.nxn:
+                    st = do_tu(st, pick(msl, esy, esx), pick(cm8, esy, esx),
+                               (tz_e == 3) & coded_e, (tz_e <= 3) & coded_e,
+                               ey, ex, 8, av8m[e], av8c[e], esy, esx)
+                    if self.nxn or self.tu_split:
+                        fire4 = (tz_e == 2) & coded_e
                         for q in range(4):
                             qy, qx = ey + (q // 2) * 4, ex + (q % 2) * 4
                             mode_q = pick(mm4, qy // 4, qx // 4)
-                            st = do_tu4(st, mode_q, fire_e & nxn_e, qy, qx,
+                            st = do_tu4(st, mode_q, fire4, qy, qx,
                                         av4m[e, q], qy // 4, qx // 4)
                 return st, None
 
-            st = (ext_y, ext_c, vy, vc, cy8, cc8, cy4)
-            xs16 = tuple(jnp.asarray(x) for x in sched)
-            st, _ = jax.lax.scan(block16_body, st, xs16)
-            (ext_y, ext_c, vy, vc, cy8, cc8, cy4) = st
+            def quad_body(st, xs):
+                """One 32-pel quadrant: the TU32 step (hoisted out of the
+                16-block scan — it can only fire at the quadrant leader),
+                then the z-order scan over its four 16-blocks."""
+                (qy, qx, av32, av32c, sub_xs) = xs
+                sy, sx = qy // 8, qx // 8
+                tz_t = pick(tz, sy, sx)
+                coded_t = pick(c8, sy, sx)
+                fire_a = (tz_t == 5) & coded_t
+                st = do_tu(st, pick(msl, sy, sx), pick(cm8, sy, sx), fire_a,
+                           fire_a, qy, qx, 32, av32, av32c, sy, sx)
+                st, _ = jax.lax.scan(sub16_body, st, sub_xs)
+                return st, None
+
+            st = (ext_y, ext_c, vy, vc, cy8, cc8, cy4, ty4, tc8)
+            (s_ty, s_tx, _s_isq, s_av32, s_av32c, s_av16, s_av16c, s_av8,
+             s_av8c, s_av4) = (np.asarray(x) for x in sched)
+            sub_xs = tuple(jnp.asarray(x.reshape(4, 4, *x.shape[1:]))
+                           for x in (s_ty, s_tx, s_av16, s_av16c, s_av8,
+                                     s_av8c, s_av4))
+            quad_xs = (jnp.asarray(s_ty[::4]), jnp.asarray(s_tx[::4]),
+                       jnp.asarray(s_av32[::4]), jnp.asarray(s_av32c[::4]),
+                       sub_xs)
+            st, _ = jax.lax.scan(quad_body, st, quad_xs)
+            (ext_y, ext_c, vy, vc, cy8, cc8, cy4, ty4, tc8) = st
 
             ly = ext_y[:, 1: 65, 1: 65]
             lu = ext_c[:ba, 1: 33, 1: 33]
             lv = ext_c[ba:, 1: 33, 1: 33]
             vu, vv = vc[:ba], vc[ba:]
             cu8, cv8 = cc8[:ba], cc8[ba:]
+            tu8_, tv8_ = tc8[:ba], tc8[ba:]
 
             # scatter local results; inactive slots dropped via an
             # out-of-range row (negative indices would WRAP in jax .at[]).
@@ -846,7 +1145,11 @@ class FrameEncoder:
             cbu = scat(cbu, cu8, (8, 8))
             cbv = scat(cbv, cv8, (8, 8))
             cb4 = scat(cb4, cy4, (16, 16))
-            return (ry, ru, rv, lvy, lvu, lvv, cby, cbu, cbv, cb4), None
+            t4b = scat(t4b, ty4, (16, 16))
+            tub = scat(tub, tu8_, (8, 8))
+            tvb = scat(tvb, tv8_, (8, 8))
+            return (ry, ru, rv, lvy, lvu, lvv, cby, cbu, cbv, cb4,
+                    t4b, tub, tvb), None
 
         init = (
             jnp.zeros((b, g.rc, g.cc, 64, 64), jnp.int32),
@@ -859,10 +1162,13 @@ class FrameEncoder:
             jnp.zeros((b, g.rc, g.cc, 8, 8), bool),
             jnp.zeros((b, g.rc, g.cc, 8, 8), bool),
             jnp.zeros((b, g.rc, g.cc, 16, 16), bool),
+            jnp.zeros((b, g.rc, g.cc, 16, 16), bool),
+            jnp.zeros((b, g.rc, g.cc, 8, 8), bool),
+            jnp.zeros((b, g.rc, g.cc, 8, 8), bool),
         )
         xs = (jnp.asarray(act_r), jnp.asarray(act_c), jnp.asarray(act_m))
-        (ry, ru, rv, lvy, lvu, lvv, cby, cbu, cbv, cb4), _ = jax.lax.scan(
-            diagonal_body, init, xs)
+        (ry, ru, rv, lvy, lvu, lvv, cby, cbu, cbv, cb4,
+         t4b, tub, tvb), _ = jax.lax.scan(diagonal_body, init, xs)
 
         g_ = self.geom
         return {
@@ -876,4 +1182,7 @@ class FrameEncoder:
             "cbf_u": from_blocked(cbu),
             "cbf_v": from_blocked(cbv),
             "cbf4_y": from_blocked(cb4),
+            "ts4_y": from_blocked(t4b),
+            "ts8_u": from_blocked(tub),
+            "ts8_v": from_blocked(tvb),
         }

@@ -20,16 +20,22 @@ def test_deblock_matches_scalar(qp, seed):
     y = np.clip(y, 0, 255)
     u = rng.integers(0, 256, (b, h // 2, w // 2)).astype(np.int32)
     v = rng.integers(0, 256, (b, h // 2, w // 2)).astype(np.int32)
-    # random legal depth map: constant depth per 16x16 block, depth 1..3
-    d16 = rng.integers(1, 4, (b, h // 16, w // 16))
-    depth8 = d16.repeat(2, 1).repeat(2, 2).astype(np.int32)
+    # random legal leaf-TU map: constant log2 size per 16x16 block, 2..5
+    # (2/3 both mean 8-grid edges; 4/5 are coarser TU grids)
+    t16 = rng.integers(2, 6, (b, h // 16, w // 16))
+    tusz8 = t16.repeat(2, 1).repeat(2, 2).astype(np.int32)
+    # legalize: a 32-TU slot must start 32-aligned — clamp misaligned ones
+    for sy in range(h // 8):
+        for sx in range(w // 8):
+            if tusz8[:, sy, sx].max() == 5 and (sy % 4 or sx % 4):
+                tusz8[:, sy, sx] = np.minimum(tusz8[:, sy, sx], 4)
 
     gy, gu, gv = (np.asarray(p) for p in deblock.deblock_frame(
-        y, u, v, depth8, qp, h, w))
+        y, u, v, tusz8, qp, h, w))
 
     for i in range(b):
         wy, wu, wv = refimpl.deblock_frame_np(
-            y[i].copy(), u[i].copy(), v[i].copy(), depth8[i], qp, h, w)
+            y[i].copy(), u[i].copy(), v[i].copy(), tusz8[i], qp, h, w)
         assert (gy[i] == wy).all(), (
             f"luma mismatch qp={qp}: {np.argwhere(gy[i] != wy)[:5]}")
         assert (gu[i] == wu).all()
@@ -43,9 +49,9 @@ def test_smooth_image_unchanged_inside_blocks():
     y[:, :, 32:] = 160
     u = np.full((1, 32, 32), 128, np.int32)
     v = u.copy()
-    depth8 = np.full((1, 8, 8), 1, np.int32)
+    tusz8 = np.full((1, 8, 8), 5, np.int32)
     gy, _, _ = (np.asarray(p) for p in deblock.deblock_frame(
-        y, u, v, depth8, 37, h, w))
+        y, u, v, tusz8, 37, h, w))
     # columns far from any 8-grid edge are untouched
     assert (gy[0][:, 4:5] == 100).all()
     assert (gy[0][:, 60:61] == 160).all()

@@ -35,7 +35,9 @@ def test_native_matches_python_bytes(qp):
     for i in range(b):
         golden = SliceEncoder(cfg, out, i).encode()
         assert golden[: len(hdr)] == hdr
-        got = native.encode_slice_data(w, h, qp, out, i)
+        got = native.encode_slice_data(w, h, qp, out, i,
+                                       max_tu_depth=cfg.max_tu_depth_intra,
+                                       transform_skip=cfg.transform_skip)
         assert got == golden[len(hdr):], (qp, i)
 
 

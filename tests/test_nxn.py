@@ -79,7 +79,9 @@ def test_nxn_native_matches_python(encoded):
     cfg, out = encoded
     hdr = headers.write_slice_header(cfg).data()
     golden = SliceEncoder(cfg, out, 0).encode()
-    got = native.encode_slice_data(cfg.width, cfg.height, cfg.qp, out, 0)
+    got = native.encode_slice_data(cfg.width, cfg.height, cfg.qp, out, 0,
+                                   max_tu_depth=cfg.max_tu_depth_intra,
+            transform_skip=cfg.transform_skip)
     assert got == golden[len(hdr):]
 
 

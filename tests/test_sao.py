@@ -12,7 +12,7 @@ from hevctpu.ops import sao
 def _stats_and_params(org, rec, h, w, qp, span=64):
     ys = sao.ctu_stats(jnp.asarray(org), jnp.asarray(rec), h, w, span)
     # reuse the same stats for "chroma" so decide_params has all inputs
-    st, se, sbp, soff = sao.decide_params(ys, ys, ys, qp, qp)
+    st, se, sbp, soff, _ = sao.decide_params(ys, ys, ys, qp, qp)
     return st, se, sbp, soff
 
 
@@ -63,3 +63,53 @@ def test_eo_category_matches_scalar():
                     np.sign(p[0, y, x] - p[0, by, bx]))
                 want = {-2: 1, -1: 2, 0: 0, 1: 3, 2: 4}[s]
                 assert cat[y, x] == want, (cls, y, x)
+
+
+def test_merge_decision_and_roundtrip():
+    """Merge-left/up decisions: merges fire on homogeneous content, copied
+    params equal the source CTU's, and the mirror decoder reproduces the
+    final parameter arrays (TEncSampleAdaptiveOffset deriveModeMergeRDO /
+    decideBlkParams semantics, :617-814)."""
+    from hevctpu.codec import decoder as dec
+    from hevctpu.codec import headers
+    from hevctpu.codec.syntax import SliceDecoder, SliceEncoder
+    from hevctpu.models import convnet2
+    from hevctpu.pipeline.encoder import FrameEncoder
+
+    h, w, qp = 128, 192, 37
+    rng = np.random.default_rng(5)
+    yy, xx = np.mgrid[0:h, 0:w]
+    y = np.stack([(128 + 60 * np.sin(yy / 20) * np.cos(xx / 25)
+                   + rng.normal(0, 5, (h, w))).clip(0, 255).astype(np.int32)
+                  for _ in range(1)])
+    u = np.stack([(128 + 40 * np.cos(yy[::2, ::2] / 15)).astype(np.int32)])
+    v = rng.integers(100, 150, (1, h // 2, w // 2)).astype(np.int32)
+    lab = np.asarray(convnet2.assemble_ctu_labels(
+        rng.integers(0, 3, (1, 6, 4, 4))))
+    out = FrameEncoder(h, w, qp).encode(y, u, v, lab)
+    m = out["sao_merge"][0]
+    assert m.any(), "no SAO merges on homogeneous content"
+    # merged CTUs carry their source's final params
+    for r in range(m.shape[0]):
+        for c in range(m.shape[1]):
+            if m[r, c] == 1:
+                np.testing.assert_array_equal(out["sao_off"][0][r, c],
+                                              out["sao_off"][0][r, c - 1])
+            elif m[r, c] == 2:
+                np.testing.assert_array_equal(out["sao_off"][0][r, c],
+                                              out["sao_off"][0][r - 1, c])
+    cfg = headers.StreamConfig(width=w, height=h, qp=qp)
+    rbsp = SliceEncoder(cfg, out, 0).encode()
+    hdr = headers.write_slice_header(cfg).data()
+    sd = SliceDecoder(cfg, rbsp, len(hdr)).decode()
+    np.testing.assert_array_equal(sd.sao["type"], out["sao_type"][0])
+    np.testing.assert_array_equal(sd.sao["off"], out["sao_off"][0])
+    # bp is only meaningful (and only decoded) where the component is BO
+    for cidx in range(3):
+        bo = out["sao_type"][0][:, :, 0 if cidx == 0 else 1] == 1
+        np.testing.assert_array_equal(sd.sao["bp"][..., cidx][bo],
+                                      out["sao_bp"][0][..., cidx][bo])
+    # full decode still reproduces the reconstruction
+    d = dec.Decoder()
+    d.decode(dec.encode_stream(cfg, [out], use_native=False))
+    assert all(d.hashes_ok)

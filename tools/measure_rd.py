@@ -28,6 +28,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=8)
     ap.add_argument("--modes", default="cnn,rd")
+    ap.add_argument("--model", default=None,
+                    help="CNN checkpoint (.pt or .npz) for the cnn mode; "
+                    "defaults to the reference torch checkpoint")
     ap.add_argument("--out", default=os.path.join(ROOT, "RD_MEASURED.json"))
     args = ap.parse_args()
 
@@ -41,8 +44,11 @@ def main():
     h, w = bench.H, bench.W
     y, u, v = bench.synth_clip(args.frames, h, w)
 
-    model_path = "/root/reference/rec/hevc_encoder_model.pt"
-    if os.path.exists(model_path):
+    model_path = args.model or "/root/reference/rec/hevc_encoder_model.pt"
+    if model_path.endswith(".npz"):
+        from hevctpu.models import checkpoint
+        params = checkpoint.load(model_path)
+    elif os.path.exists(model_path):
         params = convnet2.load_torch_params(model_path)
     else:
         params = convnet2.init_params(0)

@@ -1,0 +1,70 @@
+"""Close the CNN quality loop on-domain: generate full-RD-search depth
+labels on the bench clip family, fine-tune ConvNet2 on them, and save an
+npz checkpoint for the CNN-pruned encoder.
+
+This is the reference's training flow (labels from the exhaustive search's
+DEBUG_CTU_DEPTH dump, TEncCu.cpp:258-275; CNN trained offline) run
+entirely inside the framework: the label producer is our own rd-search
+encoder, the trainer is models/train.py.
+
+Usage: python tools/train_cnn_domain.py [--clips 6] [--frames 8]
+       [--epochs 12] [--out CKPT_DOMAIN.npz]
+"""
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--clips", type=int, default=6)
+    ap.add_argument("--frames", type=int, default=8)
+    ap.add_argument("--qps", default="27,32,37")
+    ap.add_argument("--epochs", type=int, default=12)
+    ap.add_argument("--lr", type=float, default=5e-4)
+    ap.add_argument("--init", default="/root/reference/rec/hevc_encoder_model.pt")
+    ap.add_argument("--out", default=os.path.join(ROOT, "CKPT_DOMAIN.npz"))
+    args = ap.parse_args()
+
+    import bench
+    from hevctpu.models import checkpoint, convnet2, train
+    from hevctpu.pipeline import labels as lab_mod
+
+    h, w = bench.H, bench.W
+    qps = [int(q) for q in args.qps.split(",")]
+    xs32, xs64, ds = [], [], []
+    for seed in range(args.clips):
+        y, u, v = bench.synth_clip(args.frames, h, w, seed=seed)
+        qp = qps[seed % len(qps)]
+        lab = lab_mod.rd_ground_truth(y, u, v, qp)
+        x32, x64, digits = lab_mod.make_dataset(
+            y.astype(np.int32), u.astype(np.int32), v.astype(np.int32),
+            np.asarray(lab))
+        xs32.append(x32)
+        xs64.append(x64)
+        ds.append(digits)
+        print(f"clip seed={seed} qp={qp}: {digits.shape[0]} samples",
+              flush=True)
+    x32 = np.concatenate(xs32)
+    x64 = np.concatenate(xs64)
+    digits = np.concatenate(ds)
+    print(f"dataset: {digits.shape[0]} samples")
+
+    init = None
+    if args.init and os.path.exists(args.init):
+        init = convnet2.load_torch_params(args.init)
+    params, hist = train.train(x32, x64, digits, params=init,
+                               epochs=args.epochs, lr=args.lr)
+    checkpoint.save(args.out, params)
+    print(f"trained {len(hist)} epochs, final acc {hist[-1]['acc']:.3f} "
+          f"-> {args.out}")
+
+
+if __name__ == "__main__":
+    main()
