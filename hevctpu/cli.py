@@ -26,24 +26,32 @@ DEFAULT_MODEL = "/root/reference/rec/hevc_encoder_model.pt"
 
 def _add_encode(sub):
     p = sub.add_parser("encode", help="All-Intra encode a YUV420 8-bit file")
-    p.add_argument("-c", "--cfg", help="HM-style sequence cfg (bitstream.cfg)")
+    p.add_argument("-c", "--cfg", action="append", default=[],
+                   help="HM-grammar cfg file; repeatable, later files "
+                        "override earlier (codec cfg + sequence cfg, like "
+                        "the reference's two-file setup); CLI flags "
+                        "override last")
     p.add_argument("-i", "--input")
     p.add_argument("--width", type=int)
     p.add_argument("--height", type=int)
-    p.add_argument("-f", "--frames", type=int, default=0)
-    p.add_argument("-q", "--qp", type=int, default=32)
-    p.add_argument("-b", "--bitstream", required=True)
+    p.add_argument("-f", "--frames", type=int)
+    p.add_argument("-q", "--qp", type=int)
+    p.add_argument("-b", "--bitstream")
     p.add_argument("--recon", help="write reconstruction YUV")
-    p.add_argument("--fps", type=float, default=30.0)
-    p.add_argument("--model", default=DEFAULT_MODEL,
-                   help="ConvNet2 torch checkpoint for CU-depth pruning")
+    p.add_argument("--fps", type=float)
+    p.add_argument("--model",
+                   help="ConvNet2 checkpoint (.pt or .npz) for CU-depth "
+                        "pruning")
     p.add_argument("--fixed-depth", type=int, choices=[0, 1, 2, 3],
                    help="bypass the CNN, use a fixed CU depth")
-    p.add_argument("--batch", type=int, default=4,
+    p.add_argument("--batch", type=int,
                    help="frames encoded per device step")
-    p.add_argument("--search", choices=["cnn", "rd"], default="cnn",
+    p.add_argument("--search", choices=["cnn", "rd"],
                    help="partition source: CNN-pruned (reference pipeline) "
                         "or full RD quadtree search (unpruned anchor)")
+    p.add_argument("--no-rdoq", action="store_true")
+    p.add_argument("--no-sao", action="store_true")
+    p.add_argument("--no-deblock", action="store_true")
     p.add_argument("--target-kbps", type=float,
                    help="enable R-λ rate control at this bitrate "
                         "(overrides -q per picture)")
@@ -97,42 +105,60 @@ def _add_bytecount(sub):
 
 
 def cmd_encode(args) -> int:
+    from hevctpu import config as cfgmod
     from hevctpu.codec import decoder as streamlib
-    from hevctpu.codec import headers
     from hevctpu.pipeline import metrics, yuv
     from hevctpu.pipeline.encoder import FrameEncoder
 
-    if args.cfg:
-        seq = yuv.sequence_from_cfg(args.cfg)
-        if args.input:
-            seq.path = args.input
-        if args.frames:
-            seq.frames = args.frames
-    else:
-        if not (args.input and args.width and args.height):
-            print("need -c cfg or -i/--width/--height", file=sys.stderr)
-            return 2
-        seq = yuv.Sequence(args.input, args.width, args.height, args.fps,
-                           args.frames)
+    # Layered config: -c files in order, explicit CLI flags last
+    # (program_options_lite precedence, program_options_lite.cpp:551).
+    try:
+        ec = cfgmod.load(
+            args.cfg,
+            input_file=args.input, source_width=args.width,
+            source_height=args.height, frames_to_be_encoded=args.frames,
+            frame_rate=args.fps, qp=args.qp, bitstream_file=args.bitstream,
+            recon_file=args.recon, model=args.model,
+            fixed_depth=args.fixed_depth, batch=args.batch,
+            search=args.search, target_kbps=args.target_kbps,
+            adaptive_qp=args.adaptive_qp or None,
+            rdoq=False if args.no_rdoq else None,
+            sao=False if args.no_sao else None,
+            deblock=False if args.no_deblock else None)
+    except cfgmod.ConfigError as e:
+        print(f"config error: {e}", file=sys.stderr)
+        return 2
+    if not (ec.input_file and ec.source_width and ec.source_height):
+        print("need -c cfg or -i/--width/--height", file=sys.stderr)
+        return 2
+    if not ec.bitstream_file:
+        print("need -b or BitstreamFile in cfg", file=sys.stderr)
+        return 2
+    seq = yuv.Sequence(ec.input_file, ec.source_width, ec.source_height,
+                       ec.frame_rate, ec.frames_to_be_encoded)
 
     from hevctpu.pipeline import extract
 
     y, u, v = extract.load_clip(seq.path, seq.width, seq.height, seq.frames)
     n = y.shape[0]
     print(f"hevctpu encode: {seq.path} {seq.width}x{seq.height} "
-          f"{n} frames QP {args.qp} search={args.search}")
+          f"{n} frames QP {ec.qp} search={ec.search}")
 
     t0 = time.time()
     rc, cc = -(-seq.height // 64), -(-seq.width // 64)
-    if args.search == "rd":
+    if ec.search == "rd":
         labels = None
         t_cnn = 0.0
-    elif args.fixed_depth is not None:
-        labels = np.full((n, rc * cc, 16), args.fixed_depth, np.int32)
+    elif ec.fixed_depth is not None:
+        labels = np.full((n, rc * cc, 16), ec.fixed_depth, np.int32)
         t_cnn = 0.0
     else:
         from hevctpu.models import convnet2
-        params = convnet2.load_torch_params(args.model)
+        if ec.model.endswith(".npz"):
+            from hevctpu.models import checkpoint
+            params = checkpoint.load(ec.model)
+        else:
+            params = convnet2.load_torch_params(ec.model)
         labels = np.stack([
             np.asarray(convnet2.predict_frame_labels(
                 params, y[i].astype(np.int32), u[i].astype(np.int32),
@@ -144,29 +170,28 @@ def cmd_encode(args) -> int:
 
     def get_enc(qp: int) -> FrameEncoder:
         if qp not in encoders:
-            encoders[qp] = FrameEncoder(seq.height, seq.width, qp,
-                                        search=args.search)
+            encoders[qp] = ec.make_encoder(qp)
         return encoders[qp]
 
     ratec = None
-    if args.target_kbps:
+    if ec.target_kbps:
         from hevctpu.pipeline.ratectrl import RateController
-        ratec = RateController(args.target_kbps * 1000.0, seq.fps,
+        ratec = RateController(ec.target_kbps * 1000.0, seq.fps,
                                seq.width, seq.height, n)
 
     frames_out = []
     chunks = [] if ratec is not None else None
     # rate control / adaptive QP choose a QP per picture -> batch size 1;
     # constant-QP runs batch for throughput.
-    bsz = 1 if (ratec or args.adaptive_qp) else max(args.batch, 1)
+    bsz = 1 if (ratec or ec.adaptive_qp) else max(ec.batch, 1)
     for i in range(0, n, bsz):
         j = min(i + bsz, n)
-        qp = args.qp
+        qp = ec.qp
         if ratec is not None:
             qp, _ = ratec.start_picture(ratec.complexity(y[i]))
-        elif args.adaptive_qp:
+        elif ec.adaptive_qp:
             from hevctpu.pipeline.preanalysis import frame_qp_offset
-            qp = int(np.clip(args.qp + frame_qp_offset(y[i]), 0, 51))
+            qp = int(np.clip(ec.qp + frame_qp_offset(y[i]), 0, 51))
         out = get_enc(qp).encode(
             y[i:j], u[i:j], v[i:j],
             labels[i:j] if labels is not None else None)
@@ -174,20 +199,18 @@ def cmd_encode(args) -> int:
         if ratec is not None:
             # entropy-encode the picture's NALs once: feed the size to the
             # rate controller and reuse the bytes for the final stream.
-            cfg1 = headers.StreamConfig(width=seq.width, height=seq.height,
-                                        qp=qp)
-            chunk = streamlib.encode_frame_nals(cfg1, out)
+            chunk = streamlib.encode_frame_nals(ec.to_stream_config(qp), out)
             ratec.update(len(chunk) * 8)
             chunks.append(chunk)
         frames_out.append(out)
     t_enc = time.time() - t0
 
-    cfg = headers.StreamConfig(width=seq.width, height=seq.height, qp=args.qp)
+    cfg = ec.to_stream_config()
     if chunks is not None:
         stream = streamlib.parameter_set_nals(cfg) + b"".join(chunks)
     else:
         stream = streamlib.encode_stream(cfg, frames_out)
-    with open(args.bitstream, "wb") as f:
+    with open(ec.bitstream_file, "wb") as f:
         f.write(stream)
     t_total = time.time() - t0
 
@@ -201,7 +224,7 @@ def cmd_encode(args) -> int:
             py, pu, pv = metrics.frame_psnrs(
                 y[k], u[k], v[k], fr["recon_y"][b], fr["recon_u"][b],
                 fr["recon_v"][b])
-            print(f"POC {k:4d} ( I-SLICE, QP {fr.get('qp', args.qp)} ) "
+            print(f"POC {k:4d} ( I-SLICE, QP {fr.get('qp', ec.qp)} ) "
                   f"[Y {py:7.4f} dB  U {pu:7.4f} dB  V {pv:7.4f} dB]")
             psnrs.append((py, pu, pv))
             ry_all.append(fr["recon_y"][b])
@@ -215,8 +238,8 @@ def cmd_encode(args) -> int:
           f"(CNN {t_cnn:.3f}s, encode {t_enc - t_cnn:.3f}s, "
           f"entropy {t_total - t_enc:.3f}s)")
 
-    if args.recon:
-        yuv.write_yuv420(args.recon, np.stack(ry_all), np.stack(ru_all),
+    if ec.recon_file:
+        yuv.write_yuv420(ec.recon_file, np.stack(ry_all), np.stack(ru_all),
                          np.stack(rv_all))
     return 0
 

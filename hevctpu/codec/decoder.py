@@ -119,6 +119,10 @@ def encode_frame_nals(cfg: headers.StreamConfig, fr: dict,
         assert False, ("cfg.max_tu_depth_intra > 0 but the frame has no "
                        "TU-split map (encode with tu_split=True or use a "
                        "max_tu_depth_intra=0 StreamConfig)")
+    assert cfg.max_tu_depth_intra > 0 or "tusz8" not in fr, \
+        ("frame carries a TU-split map but cfg.max_tu_depth_intra == 0 — "
+         "no split flags would be coded and the reconstruction would not "
+         "match the hash SEI")
     # (a ts-less frame under a transform_skip cfg is fine — all flags code
     # as 0 — but TS decisions require the PPS flag to be signaled)
     assert cfg.transform_skip or "ts4_y" not in fr, \

@@ -179,9 +179,12 @@ def _eval_params(stats, typ, cls, bp, off, dist_w: float):
     dd_eo = jnp.sum(offf ** 2 * cnt_c.astype(jnp.float32)
                     - 2.0 * offf * sum_c.astype(jnp.float32), axis=-1)
     idx = bp[..., None].astype(jnp.int32) + jnp.arange(4)
+    # bands past index 31 are simply not applied by apply_sao — mask them
+    # out of the ΔD estimate too (no wrap, no double count at 31).
+    in_range = idx <= 31
     idx = jnp.clip(idx, 0, 31)
-    cnt_b = jnp.take_along_axis(bo_cnt, idx, axis=-1)
-    sum_b = jnp.take_along_axis(bo_sum, idx, axis=-1)
+    cnt_b = jnp.where(in_range, jnp.take_along_axis(bo_cnt, idx, axis=-1), 0)
+    sum_b = jnp.where(in_range, jnp.take_along_axis(bo_sum, idx, axis=-1), 0)
     dd_bo = jnp.sum(offf ** 2 * cnt_b.astype(jnp.float32)
                     - 2.0 * offf * sum_b.astype(jnp.float32), axis=-1)
     dd = jnp.where(typ == 2, dd_eo, jnp.where(typ == 1, dd_bo, 0.0))

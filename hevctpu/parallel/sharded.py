@@ -84,4 +84,8 @@ class ShardedEncoder:
         """y [B,H,W], u/v [B,H/2,W/2] -> dict of numpy arrays (see
         FrameEncoder._encode_impl) plus the derived labels."""
         out = self._step(jnp.asarray(y), jnp.asarray(u), jnp.asarray(v))
-        return {k: np.asarray(val) for k, val in out.items()}
+        out = {k: np.asarray(val) for k, val in out.items()}
+        # same coder-settings marker FrameEncoder.encode sets, so
+        # encode_frame_nals' sign-data-hiding guard applies uniformly.
+        out["sbh"] = np.bool_(self.enc.sbh)
+        return out

@@ -140,7 +140,8 @@ def _grid_avail(geom: Geometry, n: int, scale: int = 1) -> np.ndarray:
 
 def _dense_costs(plane: jnp.ndarray, geom: Geometry, n: int,
                  qp: int | None = None, lam: float = 0.0, *,
-                 is_luma: bool = True, scale: int = 1) -> jnp.ndarray:
+                 is_luma: bool = True, scale: int = 1,
+                 bsrc: jnp.ndarray | None = None) -> jnp.ndarray:
     """Cost of all 35 modes for every aligned n x n position.
 
     plane [B, hp, wp] (luma). Returns [B, R, C, 35]. With qp=None this is
@@ -151,10 +152,16 @@ def _dense_costs(plane: jnp.ndarray, geom: Geometry, n: int,
     evaluated for *every* mode at *every* position as batched matmuls.
     Rows are chunked with lax.map so the [*, 35, n, n] intermediates stay
     bounded.
+
+    bsrc (default: plane) is the plane neighbor boundaries are read from.
+    Passing a prior-pass reconstruction approximates HM's recon-feedback
+    mode decision (references are reconstructed neighbors mid-search,
+    TEncSearch.cpp:1129-1170) while keeping the search dense.
     """
     b, hp, wp = plane.shape
     r_n, c_n = hp // n, wp // n
-    bounds = intra_mm.grid_boundaries(plane, n)               # [B,R,C,4n+1]
+    bounds = intra_mm.grid_boundaries(
+        plane if bsrc is None else bsrc, n)                   # [B,R,C,4n+1]
     av = _grid_avail(geom, n, scale)
     blocks = to_blocked(plane, n)                             # [B,R,C,n,n]
 
@@ -248,7 +255,8 @@ def _mode_bits_at(cand: jnp.ndarray, m0, m1, m2, scale: float) -> jnp.ndarray:
 
 def _dense_rd_candidates(plane: jnp.ndarray, geom: Geometry, n: int,
                          cand: jnp.ndarray, qp: int, lam: float, *,
-                         is_luma: bool = True, scale: int = 1) -> jnp.ndarray:
+                         is_luma: bool = True, scale: int = 1,
+                         bsrc: jnp.ndarray | None = None) -> jnp.ndarray:
     """Full-RD cost of the selected candidate modes at every aligned
     n x n position: predict (all 35, one MXU matmul) -> gather the K
     candidates -> transform + quant + rate estimate only for those.
@@ -262,7 +270,8 @@ def _dense_rd_candidates(plane: jnp.ndarray, geom: Geometry, n: int,
     b, hp, wp = plane.shape
     r_n, c_n = hp // n, wp // n
     kc = cand.shape[-1]
-    bounds = intra_mm.grid_boundaries(plane, n)               # [B,R,C,4n+1]
+    bounds = intra_mm.grid_boundaries(
+        plane if bsrc is None else bsrc, n)                   # [B,R,C,4n+1]
     av = _grid_avail(geom, n, scale)
     blocks = to_blocked(plane, n)                             # [B,R,C,n,n]
     log2 = int(np.log2(n))
@@ -331,7 +340,8 @@ def _pass1_candidates(satd: jnp.ndarray, lam: float, n: int):
     return cand, (m0, m1, m2)
 
 
-def _dense_mode_decision(plane: jnp.ndarray, geom: Geometry, qp: int):
+def _dense_mode_decision(plane: jnp.ndarray, geom: Geometry, qp: int,
+                         bsrc: jnp.ndarray | None = None):
     """RD-best mode + cost for every CU/PU position at every depth.
 
     Two-pass, exactly the reference's structure vectorized: pass 1 scores
@@ -347,9 +357,9 @@ def _dense_mode_decision(plane: jnp.ndarray, geom: Geometry, qp: int):
     modes, costs = {}, {}
     satd32 = None
     for n in (32, 16, 8, 4):
-        satd = _dense_costs(plane, geom, n, None, 0.0)
+        satd = _dense_costs(plane, geom, n, None, 0.0, bsrc=bsrc)
         cand, (m0, m1, m2) = _pass1_candidates(satd, lam, n)
-        rdc = _dense_rd_candidates(plane, geom, n, cand, qp, lam)
+        rdc = _dense_rd_candidates(plane, geom, n, cand, qp, lam, bsrc=bsrc)
         rdc = rdc + _mode_bits_at(cand, m0, m1, m2, lam)
         best = jnp.argmin(rdc, axis=-1)
         modes[n] = jnp.take_along_axis(cand, best[..., None],
@@ -363,7 +373,8 @@ def _dense_mode_decision(plane: jnp.ndarray, geom: Geometry, qp: int):
     s64 = satd32.reshape(b, r32 // 2, 2, c32n // 2, 2, 35).sum(axis=(2, 4))
     cand64, (m0, m1, m2) = _pass1_candidates(s64, lam, 64)
     cand64_32 = jnp.repeat(jnp.repeat(cand64, 2, axis=1), 2, axis=2)
-    rd_q = _dense_rd_candidates(plane, geom, 32, cand64_32, qp, lam)
+    rd_q = _dense_rd_candidates(plane, geom, 32, cand64_32, qp, lam,
+                                bsrc=bsrc)
     rd64 = (rd_q.reshape(b, r32 // 2, 2, c32n // 2, 2, cand64.shape[-1])
             .sum(axis=(2, 4))) + _mode_bits_at(cand64, m0, m1, m2, lam)
     best = jnp.argmin(rd64, axis=-1)
@@ -377,7 +388,7 @@ _CHROMA_LIST = np.array([rom.PLANAR_IDX, rom.VER_IDX, rom.HOR_IDX,
 
 
 def _dense_chroma_decision(up, vp, geom: Geometry, qp: int, qp_c: int,
-                           luma_modes: dict):
+                           luma_modes: dict, bsrc_u=None, bsrc_v=None):
     """Per-CU chroma mode selection (intra_chroma_pred_mode search).
 
     The reference searches DM + {planar, ver, hor, DC} per chroma PU with
@@ -401,9 +412,9 @@ def _dense_chroma_decision(up, vp, geom: Geometry, qp: int, qp_c: int,
         cand = jnp.where(cand == lm[..., None], 34, cand)
         cand = jnp.concatenate([cand, lm[..., None]], axis=-1)  # slot 4 = DM
         rd_u = _dense_rd_candidates(up, geom, m, cand, qp_c, lam_c,
-                                    is_luma=False, scale=2)
+                                    is_luma=False, scale=2, bsrc=bsrc_u)
         rd_v = _dense_rd_candidates(vp, geom, m, cand, qp_c, lam_c,
-                                    is_luma=False, scale=2)
+                                    is_luma=False, scale=2, bsrc=bsrc_v)
         jc = rd_u + rd_v                                     # [B,R,C,5]
         # signaling: DM = 1 ctx bin (~0.6 b); list = 1 ctx + 2 bypass bins.
         jc = jc + jnp.asarray([2.6, 2.6, 2.6, 2.6, 0.6],
@@ -461,7 +472,7 @@ def _rd_split_labels(costs: dict, qp: int) -> jnp.ndarray:
 
 
 def _tu_tree_decision(plane: jnp.ndarray, geom: Geometry, qp: int,
-                      cu_log2: int, mode_cu: jnp.ndarray):
+                      cu_log2: int, mode_cu: jnp.ndarray, bsrc=None):
     """Intra TU quadtree RD decision (the reference's checkFull-vs-
     checkSplit recursion, TEncSearch::xRecurIntraCodingLumaQT,
     TEncSearch.cpp:1430-1448, searched to max_transform_hierarchy_depth_
@@ -487,7 +498,8 @@ def _tu_tree_decision(plane: jnp.ndarray, geom: Geometry, qp: int,
         rep = 1 << (cu_log2 - s_log2)
         mode_s = jnp.repeat(jnp.repeat(mode_cu, rep, axis=-2), rep, axis=-1)
         rd_map[s_log2] = _dense_rd_candidates(
-            plane, geom, 1 << s_log2, mode_s[..., None], qp, lam)[..., 0]
+            plane, geom, 1 << s_log2, mode_s[..., None], qp, lam,
+            bsrc=bsrc)[..., 0]
 
     def pool4(x):
         b_, r_, c_ = x.shape
@@ -685,9 +697,10 @@ class FrameEncoder:
     def __init__(self, h: int, w: int, qp: int, *, deblock: bool = True,
                  search: str = "cnn", rdoq: bool = True, sao: bool = True,
                  sbh: bool = True, nxn: bool = True, tu_split: bool = True,
-                 ts: bool = True):
+                 ts: bool = True, two_pass: bool = False):
         assert h % 8 == 0 and w % 8 == 0, "HEVC requires dims % minCU == 0"
         assert search in ("cnn", "rd")
+        self.two_pass = two_pass
         self.geom = Geometry(h, w)
         self.qp = qp
         self.qp_c = rom.chroma_qp_from_luma(qp)
@@ -763,13 +776,61 @@ class FrameEncoder:
         g = self.geom
         y, u, v = (a.astype(jnp.int32) for a in (y, u, v))
         labels = labels.astype(jnp.int32)
-        b = y.shape[0]
         yp = pad_plane(y, g.hp, g.wp)
         up = pad_plane(u, g.hp // 2, g.wp // 2)
         vp = pad_plane(v, g.hp // 2, g.wp // 2)
 
-        # Stage 1: dense RD mode decision per depth (luma, then chroma).
-        modes, costs = _dense_mode_decision(yp, g, self.qp)
+        dec = self._decide(yp, up, vp, labels)
+        if self.two_pass:
+            # Recon-feedback refinement (HM decides against reconstructed
+            # neighbors mid-search, TEncSearch.cpp:1129-1170;
+            # TEncCu.cpp:1091-1093): re-run the dense decision pass with
+            # neighbor boundaries read from the pass-1 pre-filter recon —
+            # the references the decoder will approximately see — then
+            # reconstruct with the refined decisions.
+            out1 = self._reconstruct(
+                yp, up, vp, dec["mode_slot"], dec["cmode_slot"],
+                to_blocked(dec["tusz_frame"], 8), dec["coded8"],
+                to_blocked(dec["mode4_frame"], 16))
+            ry = pad_plane(out1["recon_y"].astype(jnp.int32), g.hp, g.wp)
+            ru = pad_plane(out1["recon_u"].astype(jnp.int32),
+                           g.hp // 2, g.wp // 2)
+            rv = pad_plane(out1["recon_v"].astype(jnp.int32),
+                           g.hp // 2, g.wp // 2)
+            dec = self._decide(yp, up, vp, labels, bsrc=(ry, ru, rv))
+
+        # Stage 2: wavefront reconstruction.
+        out = self._reconstruct(yp, up, vp, dec["mode_slot"],
+                                dec["cmode_slot"],
+                                to_blocked(dec["tusz_frame"], 8),
+                                dec["coded8"],
+                                to_blocked(dec["mode4_frame"], 16))
+        out["depth8"] = from_blocked(dec["depth8"])
+        out["coded8"] = from_blocked(dec["coded8"])
+        out["mode8"] = dec["mode8_frame"]
+        out["csel8"] = dec["csel8_frame"]
+        out["nxn8"] = dec["nxn8_frame"]
+        out["mode4"] = dec["mode4_frame"]
+        tusz_frame = dec["tusz_frame"]
+        if self.tu_split:
+            out["tusz8"] = tusz_frame
+        if not self.ts:
+            for k in ("ts4_y", "ts8_u", "ts8_v"):
+                del out[k]
+        return self._loop_filters_and_cast(yp, up, vp, out, tusz_frame)
+
+    def _decide(self, yp, up, vp, labels, bsrc=None):
+        """Stage 1: all mode/partition/TU decisions for the batch.
+
+        bsrc = optional (y, u, v) planes neighbor boundaries are read from
+        (pass-2 recon feedback); None reads them from the original planes.
+        """
+        g = self.geom
+        b = yp.shape[0]
+        by, bu, bv = bsrc if bsrc is not None else (None, None, None)
+
+        # Dense RD mode decision per depth (luma, then chroma).
+        modes, costs = _dense_mode_decision(yp, g, self.qp, bsrc=by)
 
         # Intra TU quadtree search per CU size (TEncSearch.cpp:1430-1448):
         # replace each CU's full-TU cost with its best-tree cost and keep
@@ -778,7 +839,7 @@ class FrameEncoder:
         if self.tu_split:
             for n, cu_log2 in ((64, 6), (32, 5), (16, 4), (8, 3)):
                 t_cost, rd_full, tz[n] = _tu_tree_decision(
-                    yp, g, self.qp, cu_log2, modes[n])
+                    yp, g, self.qp, cu_log2, modes[n], bsrc=by)
                 costs[n] = costs[n] + (t_cost - rd_full)
 
         # PART_NxN vs PART_2Nx2N at depth 3 (the reference checks both at
@@ -797,7 +858,7 @@ class FrameEncoder:
             nxn_map = jnp.zeros_like(costs[8], bool)
 
         csel, cmodes, ccosts = _dense_chroma_decision(
-            up, vp, g, self.qp, self.qp_c, modes)
+            up, vp, g, self.qp, self.qp_c, modes, bsrc_u=bu, bsrc_v=bv)
 
         # Partition: CNN labels (pruned-search gate semantics) or the RD
         # quadtree decision; plus implicit boundary splits either way.
@@ -866,22 +927,13 @@ class FrameEncoder:
             tusz_frame = jnp.minimum(6 - d8f, 5)
         tusz_frame = jnp.where(nxn8_frame, 2, tusz_frame).astype(jnp.int32)
 
-        # Stage 2: wavefront reconstruction.
-        out = self._reconstruct(yp, up, vp, mode_slot, cmode_slot,
-                                to_blocked(tusz_frame, 8), coded8,
-                                to_blocked(mode4_frame, 16))
-        out["depth8"] = from_blocked(depth8)
-        out["coded8"] = from_blocked(coded8)
-        out["mode8"] = mode8_frame
-        out["csel8"] = csel8_frame
-        out["nxn8"] = nxn8_frame
-        out["mode4"] = mode4_frame
-        if self.tu_split:
-            out["tusz8"] = tusz_frame
-        if not self.ts:
-            for k in ("ts4_y", "ts8_u", "ts8_v"):
-                del out[k]
+        return dict(mode_slot=mode_slot, cmode_slot=cmode_slot,
+                    tusz_frame=tusz_frame, coded8=coded8, depth8=depth8,
+                    mode4_frame=mode4_frame, mode8_frame=mode8_frame,
+                    csel8_frame=csel8_frame, nxn8_frame=nxn8_frame)
 
+    def _loop_filters_and_cast(self, yp, up, vp, out, tusz_frame):
+        g = self.geom
         # In-loop filters (frame post-pass; intra prediction reads the
         # pre-filter recon, exactly as HM applies them per picture after
         # compressSlice: deblock TEncGOP.cpp:1742, then SAO :1797 using

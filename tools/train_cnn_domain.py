@@ -23,34 +23,42 @@ sys.path.insert(0, ROOT)
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--clips", type=int, default=6)
+    ap.add_argument("--seeds", type=int, default=2,
+                    help="clip seeds per corpus family (training uses "
+                    "seeds >= 100 so the seed-0 evaluation clips stay "
+                    "held out)")
     ap.add_argument("--frames", type=int, default=8)
     ap.add_argument("--qps", default="27,32,37")
+    ap.add_argument("--families", default="pink,scene,pan,detail,sine")
     ap.add_argument("--epochs", type=int, default=12)
     ap.add_argument("--lr", type=float, default=5e-4)
     ap.add_argument("--init", default="/root/reference/rec/hevc_encoder_model.pt")
     ap.add_argument("--out", default=os.path.join(ROOT, "CKPT_DOMAIN.npz"))
     args = ap.parse_args()
 
-    import bench
     from hevctpu.models import checkpoint, convnet2, train
+    from hevctpu.pipeline import clips
     from hevctpu.pipeline import labels as lab_mod
 
-    h, w = bench.H, bench.W
+    h, w = 240, 416
     qps = [int(q) for q in args.qps.split(",")]
     xs32, xs64, ds = [], [], []
-    for seed in range(args.clips):
-        y, u, v = bench.synth_clip(args.frames, h, w, seed=seed)
-        qp = qps[seed % len(qps)]
-        lab = lab_mod.rd_ground_truth(y, u, v, qp)
-        x32, x64, digits = lab_mod.make_dataset(
-            y.astype(np.int32), u.astype(np.int32), v.astype(np.int32),
-            np.asarray(lab))
-        xs32.append(x32)
-        xs64.append(x64)
-        ds.append(digits)
-        print(f"clip seed={seed} qp={qp}: {digits.shape[0]} samples",
-              flush=True)
+    k = 0
+    for fam in args.families.split(","):
+        for s in range(args.seeds):
+            # seed 100+s: the RD corpus evaluates on seed 0 — hold it out
+            y, u, v = clips.make_clip(fam, args.frames, h, w, seed=100 + s)
+            qp = qps[k % len(qps)]
+            k += 1
+            lab = lab_mod.rd_ground_truth(y, u, v, qp)
+            x32, x64, digits = lab_mod.make_dataset(
+                y.astype(np.int32), u.astype(np.int32), v.astype(np.int32),
+                np.asarray(lab))
+            xs32.append(x32)
+            xs64.append(x64)
+            ds.append(digits)
+            print(f"clip {fam} seed={100 + s} qp={qp}: "
+                  f"{digits.shape[0]} samples", flush=True)
     x32 = np.concatenate(xs32)
     x64 = np.concatenate(xs64)
     digits = np.concatenate(ds)
