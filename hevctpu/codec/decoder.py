@@ -31,24 +31,43 @@ class Decoder:
         self.hashes_ok = []  # one bool per decoded-picture-hash SEI
 
     def decode(self, stream: bytes):
-        for nal_type, _tid, rbsp in bitio.split_annexb(stream):
-            if nal_type == headers.NAL_SPS:
-                self.sps = headers.parse_sps(rbsp)
-            elif nal_type == headers.NAL_PPS:
-                self.pps = headers.parse_pps(rbsp)
-            elif nal_type == headers.NAL_VPS:
-                continue
-            elif nal_type == headers.NAL_IDR_W_RADL:
-                self._decode_slice(rbsp, nal_type)
-            elif nal_type == headers.NAL_SEI_SUFFIX:
-                digests = headers.parse_hash_sei(rbsp)
-                if digests is not None:
-                    got = [headers.plane_md5(p) for p in self.frames[-1]]
-                    ok = got == digests
-                    self.hashes_ok.append(ok)
-                    assert ok, "decoded-picture-hash SEI mismatch"
-            else:
-                raise NotImplementedError(f"NAL type {nal_type}")
+        """Decode; raises headers.DecodeError (with a message naming the
+        offending syntax) on malformed/unsupported input rather than
+        asserting — the TDecConformance reject-with-message role."""
+        try:
+            for nal_type, _tid, rbsp in bitio.split_annexb(stream):
+                if nal_type == headers.NAL_SPS:
+                    self.sps = headers.parse_sps(rbsp)
+                elif nal_type == headers.NAL_PPS:
+                    self.pps = headers.parse_pps(rbsp)
+                elif nal_type == headers.NAL_VPS:
+                    continue
+                elif nal_type == headers.NAL_IDR_W_RADL:
+                    if self.sps is None or self.pps is None:
+                        raise headers.DecodeError(
+                            "slice before SPS/PPS activation")
+                    self._decode_slice(rbsp, nal_type)
+                elif nal_type == headers.NAL_SEI_SUFFIX:
+                    digests = headers.parse_hash_sei(rbsp)
+                    if digests is not None:
+                        if not self.frames:
+                            raise headers.DecodeError(
+                                "decoded-picture-hash SEI before any slice")
+                        got = [headers.plane_md5(p)
+                               for p in self.frames[-1]]
+                        ok = got == digests
+                        self.hashes_ok.append(ok)
+                        if not ok:
+                            raise headers.DecodeError(
+                                "decoded-picture-hash SEI mismatch")
+                else:
+                    raise headers.DecodeError(
+                        f"unsupported NAL unit type {nal_type}")
+        except headers.DecodeError:
+            raise
+        except IndexError:
+            raise headers.DecodeError(
+                "truncated NAL unit (bit reader ran past the payload)")
         return self.frames
 
     def _decode_slice(self, rbsp: bytes, nal_type: int):

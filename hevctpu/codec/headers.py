@@ -194,8 +194,8 @@ def parse_hash_sei(rbsp: bytes):
     psize = br.u(8)
     if ptype != SEI_DECODED_PICTURE_HASH:
         return None
-    assert psize == 49, psize
-    assert br.u(8) == 0, "only MD5 hash_type supported"
+    _req(psize == 49, f"bad decoded-picture-hash SEI size {psize}")
+    _req(br.u(8) == 0, "only MD5 hash_type supported")
     return [bytes(br.u(8) for _ in range(16)) for _ in range(3)]
 
 
@@ -223,8 +223,20 @@ def write_slice_header(cfg: StreamConfig) -> BitWriter:
 
 # ---------------------------------------------------------------------------
 # Parsers (verification decoder) — they accept general conforming headers for
-# the subset of tools this codec emits and assert on anything else.
+# the subset of tools this codec emits and raise DecodeError (a typed,
+# message-carrying rejection — the TDecConformance role) on anything else,
+# so malformed or unsupported streams can never "pass" via assert-stripped
+# runs (python -O).
 # ---------------------------------------------------------------------------
+
+
+class DecodeError(ValueError):
+    """Malformed or unsupported bitstream syntax."""
+
+
+def _req(cond, msg: str):
+    if not cond:
+        raise DecodeError(msg)
 
 
 def parse_sps(rbsp: bytes) -> dict:
@@ -232,7 +244,7 @@ def parse_sps(rbsp: bytes) -> dict:
     br.u(4 + 3 + 1)
     _skip_ptl(br)
     sps = {}
-    assert br.ue() == 0  # sps id
+    _req(br.ue() == 0, "nonzero sps id unsupported")
     sps["chroma_format_idc"] = br.ue()
     sps["width"] = br.ue()
     sps["height"] = br.ue()
@@ -251,12 +263,12 @@ def parse_sps(rbsp: bytes) -> dict:
     sps["log2_max_tb"] = sps["log2_min_tb"] + br.ue()
     sps["max_tu_depth_inter"] = br.ue()
     sps["max_tu_depth_intra"] = br.ue()
-    assert not br.flag(), "scaling lists unsupported"
+    _req(not br.flag(), "scaling lists unsupported")
     sps["amp"] = br.flag()
     sps["sao"] = br.flag()
-    assert not br.flag(), "PCM unsupported"
-    assert br.ue() == 0, "ref pic sets unsupported"
-    assert not br.flag(), "long-term refs unsupported"
+    _req(not br.flag(), "PCM unsupported")
+    _req(br.ue() == 0, "ref pic sets unsupported")
+    _req(not br.flag(), "long-term refs unsupported")
     br.flag()  # temporal mvp
     sps["strong_intra_smoothing"] = br.flag()
     return sps
@@ -265,10 +277,10 @@ def parse_sps(rbsp: bytes) -> dict:
 def parse_pps(rbsp: bytes) -> dict:
     br = BitReader(rbsp)
     pps = {}
-    assert br.ue() == 0 and br.ue() == 0
-    assert not br.flag(), "dependent slices unsupported"
+    _req(br.ue() == 0 and br.ue() == 0, "nonzero pps/sps id unsupported")
+    _req(not br.flag(), "dependent slices unsupported")
     pps["output_flag_present"] = br.flag()
-    assert br.u(3) == 0
+    _req(br.u(3) == 0, "extra slice header bits unsupported")
     pps["sign_data_hiding"] = br.flag()
     pps["cabac_init_present"] = br.flag()
     br.ue(), br.ue()
@@ -282,21 +294,21 @@ def parse_pps(rbsp: bytes) -> dict:
     pps["cr_qp_offset"] = br.se()
     pps["slice_chroma_qp_offsets"] = br.flag()
     br.flag(), br.flag()
-    assert not br.flag(), "transquant bypass unsupported"
-    assert not br.flag(), "tiles unsupported"
+    _req(not br.flag(), "transquant bypass unsupported")
+    _req(not br.flag(), "tiles unsupported")
     pps["wpp"] = br.flag()
-    assert not pps["wpp"], "WPP unsupported"
+    _req(not pps["wpp"], "WPP unsupported")
     pps["loop_filter_across_slices"] = br.flag()
     if br.flag():  # deblocking control present
         pps["deblock_override"] = br.flag()
         pps["deblock_disabled"] = br.flag()
         if not pps["deblock_disabled"]:
-            assert br.se() == 0 and br.se() == 0, \
-                "nonzero beta/tc offsets unsupported"
+            _req(br.se() == 0 and br.se() == 0,
+                 "nonzero beta/tc offsets unsupported")
     else:
         pps["deblock_override"] = False
         pps["deblock_disabled"] = False
-    assert not br.flag(), "pps scaling list unsupported"
+    _req(not br.flag(), "pps scaling list unsupported")
     br.flag()
     br.ue()
     br.flag()
@@ -306,17 +318,17 @@ def parse_pps(rbsp: bytes) -> dict:
 def parse_slice_header(rbsp: bytes, sps: dict, pps: dict, nal_type: int):
     br = BitReader(rbsp)
     sh = {}
-    assert br.flag(), "only single-slice pictures supported"
+    _req(br.flag(), "only single-slice pictures supported")
     if 16 <= nal_type <= 23:
         br.flag()  # no_output_of_prior_pics
-    assert br.ue() == 0  # pps id
+    _req(br.ue() == 0, "nonzero pps id unsupported")
     sh["slice_type"] = br.ue()
-    assert sh["slice_type"] == 2, "only I slices supported"
+    _req(sh["slice_type"] == 2, "only I slices supported")
     if pps["output_flag_present"]:
         br.flag()
     if nal_type not in (19, 20):  # not IDR: poc etc.
         br.u(sps["log2_max_poc_lsb"])
-        assert False, "non-IDR unsupported"
+        raise DecodeError("non-IDR slices unsupported")
     if sps["sao"]:
         sh["sao_luma"] = br.flag()
         sh["sao_chroma"] = br.flag()
@@ -324,7 +336,7 @@ def parse_slice_header(rbsp: bytes, sps: dict, pps: dict, nal_type: int):
     if pps["slice_chroma_qp_offsets"]:
         br.se(), br.se()
     if pps["deblock_override"]:
-        raise NotImplementedError
+        raise DecodeError("slice-level deblocking override unsupported")
     # slice_loop_filter_across_slices_enabled_flag (7.3.6.1): present when
     # the PPS allows cross-slice filtering and any in-loop filter is active.
     if pps["loop_filter_across_slices"] and (
@@ -332,8 +344,8 @@ def parse_slice_header(rbsp: bytes, sps: dict, pps: dict, nal_type: int):
             or not pps["deblock_disabled"]):
         sh["loop_filter_across_slices"] = br.flag()
     # byte alignment
-    assert br.u(1) == 1
+    _req(br.u(1) == 1, "bad slice-header byte alignment")
     while not br.byte_aligned():
-        assert br.u(1) == 0
+        _req(br.u(1) == 0, "bad slice-header byte alignment")
     sh["data_offset"] = br.byte_pos
     return sh

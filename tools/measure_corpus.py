@@ -138,7 +138,7 @@ def main():
     h, w = 240, 416
     qps = [int(q) for q in args.qps.split(",")]
     names = args.clips.split(",")
-    modes = args.modes.split(",")
+    modes = [m for m in args.modes.split(",") if m and m != "none"]
 
     ref_pt = "/root/reference/rec/hevc_encoder_model.pt"
     ref_params = (convnet2.load_torch_params(ref_pt)
