@@ -38,14 +38,49 @@ def quantize(coef: jnp.ndarray, log2_size: int, qp: int, *,
     return jnp.where(coef < 0, -level, level)
 
 
+@functools.lru_cache(maxsize=None)
+def _tb_scan_tables(log2_size: int):
+    """Static full-TB scan tables: (pos [3, N, N] scan position of each
+    (y, x), idx [3, N*N] flat (y*N+x) of each scan position) for
+    diag/hor/ver (H.265 6.5.3, CG-composed)."""
+    n = 1 << log2_size
+    pos = np.zeros((3, n, n), np.int32)
+    idx = np.zeros((3, n * n), np.int32)
+    for s in range(3):
+        order = (rom.tb_scan(s, log2_size) if n > 4
+                 else rom.scan_order(s, n))
+        for i, (y, x) in enumerate(order):
+            pos[s, y, x] = i
+            idx[s, i] = y * n + x
+    return pos, idx
+
+
+def _last_bits_scan(log2_size: int, w_last: int) -> np.ndarray:
+    """[3, N*N] last-position signaling bits (1/256 units) if scan pos p
+    is the last significant coefficient, per scan type."""
+    from hevctpu.ops import rate
+    n = 1 << log2_size
+    _, idx = _tb_scan_tables(log2_size)
+    lb = rate._last_pos_bits(n, w_last)
+    ys, xs = idx // n, idx % n
+    return np.asarray(lb)[ys] + np.asarray(lb)[xs]
+
+
 def quantize_rdoq(coef: jnp.ndarray, log2_size: int, qp: int, lam: float, *,
-                  bit_depth: int = 8) -> jnp.ndarray:
+                  bit_depth: int = 8, scan: jnp.ndarray | None = None
+                  ) -> jnp.ndarray:
     """RD-optimized quantization of [..., N, N] coefficients -> levels.
 
     Per coefficient, choose l ∈ {round(c/q), round(c/q)-1, 0} minimizing
     pixel-domain distortion (transform-domain error x 4^(log2-7)) plus
     λ x estimated bits (ops/rate.py ladder); then zero any 4x4 coefficient
-    group whose total coded cost exceeds its zeroed cost (+ the csbf bin).
+    group whose total coded cost exceeds its zeroed cost (+ the csbf bin);
+    then optimize the last-significant position (HM's d64 lastpos pass,
+    TComTrQuant.cpp:2619ff): truncating the scan at an earlier nonzero
+    coefficient drops every later coefficient's ladder bits at the price
+    of its zeroing distortion and a shorter last-position prefix. scan
+    [...] int32 (0=diag 1=hor 2=ver, per TU) selects the coefficient scan;
+    None = diagonal.
     """
     from hevctpu.ops import rate  # local import: rate imports quant
 
@@ -66,12 +101,13 @@ def quantize_rdoq(coef: jnp.ndarray, log2_size: int, qp: int, lam: float, *,
 
     dscale = 4.0 ** (log2_size - 7)
     lam_u = lam / rate.BITS_ONE
+    wq = rate.bin_weights(qp)
 
     def cost(lvl):
         deq = dequantize(lvl, log2_size, qp, bit_depth=bit_depth)
         err = (absc - deq).astype(jnp.float32)
         return err * err * dscale + lam_u * rate.level_bits(
-            lvl, k).astype(jnp.float32)
+            lvl, k, wq).astype(jnp.float32)
 
     c1, c0, cz = cost(l1), cost(l0), cost(jnp.zeros_like(l1))
     best = jnp.where((c0 < c1) & (l0 < l1), l0, l1)
@@ -85,25 +121,66 @@ def quantize_rdoq(coef: jnp.ndarray, log2_size: int, qp: int, lam: float, *,
             axis=(-3, -1))
 
     if n > 4:
-        coded_cost = pool_cg(csel) + lam_u * rate.W_CSBF
+        coded_cost = pool_cg(csel) + lam_u * wq["csbf"]
         zero_cost = pool_cg(cz)
         kill = (zero_cost < coded_cost)[..., :, None, :, None]
         kill = jnp.broadcast_to(
             kill, lvl.shape[:-2] + (n // 4, 4, n // 4, 4)).reshape(lvl.shape)
         lvl = jnp.where(kill, 0, lvl)
+        csel = jnp.where(kill, cz, csel)
+
+    # Last-position optimization: pick the scan position q that minimizes
+    #   sum_{p<=q} chosen-cost(p) + sum_{p>q} zero-distortion(p)
+    #   + λ·last_pos_bits(q)
+    # over nonzero candidates q (HM walks this backward serially with
+    # context-exact deltas, TComTrQuant.cpp:2619ff; here it is two
+    # cumulative sums over the scan axis, batched over all TUs).
+    pos_t, idx_t = _tb_scan_tables(log2_size)
+    if scan is None:
+        pos = jnp.asarray(pos_t[0])
+        idx = jnp.asarray(idx_t[0])
+    else:
+        pos = jnp.asarray(pos_t)[scan]               # [..., N, N]
+        idx = jnp.asarray(idx_t)[scan]               # [..., N*N]
+    dz = (absc.astype(jnp.float32) ** 2) * dscale    # zero-out distortion
+
+    def scanify(x):
+        flat = x.reshape(*x.shape[:-2], n * n)
+        ix = jnp.broadcast_to(idx, flat.shape)
+        return jnp.take_along_axis(flat, ix, axis=-1)
+
+    c_scan = scanify(csel)
+    z_scan = scanify(dz)
+    l_scan = scanify(lvl)
+    csum = jnp.cumsum(c_scan, axis=-1)
+    zsum = jnp.cumsum(z_scan, axis=-1)
+    tail_zero = zsum[..., -1:] - zsum
+    lastb = jnp.asarray(_last_bits_scan(log2_size, wq["last"]))
+    lb_scan = (lastb[0] if scan is None
+               else jnp.asarray(lastb)[scan])        # [..., N*N]
+    j_q = (csum + tail_zero
+           + lam_u * (lb_scan.astype(jnp.float32) + float(wq["cbf1"])))
+    j_q = jnp.where(l_scan != 0, j_q, jnp.inf)
+    q_best = jnp.argmin(j_q, axis=-1)
+    j_best = jnp.min(j_q, axis=-1)
+    # all-zero TU alternative (cbf = 0)
+    j_zero = zsum[..., -1] + lam_u * float(wq["cbf0"])
+    any_nz = jnp.any(l_scan != 0, axis=-1)
+    keep = pos <= q_best[..., None, None]
+    zero_all = (~any_nz) | (j_zero < j_best)
+    lvl = jnp.where(zero_all[..., None, None] | ~keep, 0, lvl)
 
     # Final arbitration against the hard-decision result with the *full*
-    # TU estimator (which sees last-position and scan-range couplings the
-    # per-coefficient model above does not — HM covers these with its
-    # serial last-pos optimization, TComTrQuant.cpp:2619ff).
+    # TU estimator (which sees CG/csbf couplings the per-coefficient model
+    # above does not).
     hdq = jnp.abs(quantize(coef, log2_size, qp, bit_depth=bit_depth))
 
     def full_j(lv):
         deq = dequantize(lv, log2_size, qp, bit_depth=bit_depth)
         err = (absc - deq).astype(jnp.float32)
         d = jnp.sum(err * err, axis=(-2, -1)) * dscale
-        return d + lam_u * rate.estimate_tu_bits(lv, log2_size).astype(
-            jnp.float32)
+        return d + lam_u * rate.estimate_tu_bits(
+            lv, log2_size, qp).astype(jnp.float32)
 
     take_rdoq = (full_j(lvl) <= full_j(hdq))[..., None, None]
     lvl = jnp.where(take_rdoq, lvl, hdq)

@@ -26,9 +26,12 @@ from hevctpu import rom
 
 BITS_ONE = 256  # fixed-point scale: 256 == one bit
 
-# Calibrated per-bin-type costs, in 1/256-bit units. A context-coded bin
+# Default per-bin-type costs, in 1/256-bit units. A context-coded bin
 # whose state is usually skewed costs well under 1 bit; bypass bins cost
-# exactly 1. Calibrated against the exact CABAC coder (see module doc).
+# exactly 1. Hand-calibrated against the exact CABAC coder; superseded at
+# the CTC QPs by the regression-fitted per-QP table in rate_weights.py
+# (tools/fit_rate_constants.py) — context-state skew varies with QP, so
+# one global table systematically biases cross-size split decisions.
 W_SIG0 = int(0.35 * BITS_ONE)       # sig_coeff_flag = 0
 W_SIG1 = int(0.95 * BITS_ONE)       # sig_coeff_flag = 1
 W_GT1_0 = int(0.55 * BITS_ONE)      # coeff_abs_level_greater1 = 0
@@ -40,6 +43,30 @@ W_LAST = int(0.80 * BITS_ONE)       # last_sig prefix ctx bin
 W_CBF1 = int(0.80 * BITS_ONE)       # cbf = 1
 W_CBF0 = int(0.50 * BITS_ONE)       # cbf = 0 (cost of signaling no residual)
 W_SIGN = BITS_ONE                   # sign bypass
+
+_W_FIELDS = ("sig0", "sig1", "gt1_0", "gt1_1", "gt2_0", "gt2_1",
+             "csbf", "last", "cbf1", "cbf0")
+_W_DEFAULT = {"sig0": W_SIG0, "sig1": W_SIG1, "gt1_0": W_GT1_0,
+              "gt1_1": W_GT1_1, "gt2_0": W_GT2_0, "gt2_1": W_GT2_1,
+              "csbf": W_CSBF, "last": W_LAST, "cbf1": W_CBF1,
+              "cbf0": W_CBF0}
+
+
+@functools.lru_cache(maxsize=None)
+def bin_weights(qp: int | None) -> dict:
+    """Per-bin-type weights for a given (static) QP: the fitted table when
+    available, else the hand-calibrated defaults."""
+    if qp is None:
+        return _W_DEFAULT
+    try:
+        from hevctpu.ops.rate_weights import FITTED
+    except ImportError:
+        return _W_DEFAULT
+    if not FITTED:
+        return _W_DEFAULT
+    qps = sorted(FITTED)
+    near = min(qps, key=lambda q: abs(q - qp))
+    return dict(zip(_W_FIELDS, FITTED[near]))
 
 
 def lambda_rd(qp: int) -> float:
@@ -66,7 +93,7 @@ def chroma_dist_weight(qp: int, qp_c: int) -> float:
 
 
 @functools.lru_cache(maxsize=None)
-def _last_pos_bits(n: int) -> np.ndarray:
+def _last_pos_bits(n: int, w_last: int = W_LAST) -> np.ndarray:
     """Approximate bits of coding one axis of the last-sig position
     (9.3.3.8 binarization: ctx-coded truncated-unary prefix per group +
     bypass suffix). [n] in 1/BITS_ONE units."""
@@ -78,7 +105,21 @@ def _last_pos_bits(n: int) -> np.ndarray:
             group += 1
         prefix_bins = min(group + 1, g)
         suffix_bits = max(0, (group >> 1) - 1)
-        out[pos] = prefix_bins * W_LAST + suffix_bits * BITS_ONE
+        out[pos] = prefix_bins * w_last + suffix_bits * BITS_ONE
+    return out
+
+
+@functools.lru_cache(maxsize=None)
+def _last_pos_counts(n: int) -> np.ndarray:
+    """(prefix ctx bins, suffix bypass bits) per position — the feature
+    split behind _last_pos_bits, for the weight-fitting regression."""
+    out = np.zeros((n, 2), dtype=np.int64)
+    g = 4 if n == 4 else (6 if n == 8 else (8 if n == 16 else 10))
+    for pos in range(n):
+        group = 0
+        while group + 1 < g and pos >= _group_min(group + 1):
+            group += 1
+        out[pos] = (min(group + 1, g), max(0, (group >> 1) - 1))
     return out
 
 
@@ -114,23 +155,30 @@ def golomb_rice_bits(v: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(small, bits_small, bits_big)
 
 
-def level_bits(absl: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
+def level_bits(absl: jnp.ndarray, k: jnp.ndarray,
+               w: dict | None = None) -> jnp.ndarray:
     """Approximate bits to code one coefficient of |level| = absl (>= 0),
     Golomb-Rice parameter k. In 1/BITS_ONE units. Stateless model of the
     sig/gt1/gt2/remaining/sign ladder (7.3.8.11)."""
-    b0 = jnp.where(absl > 0, W_SIG1, W_SIG0)
-    b1 = jnp.where(absl > 1, W_GT1_1, jnp.where(absl == 1, W_GT1_0, 0))
-    b2 = jnp.where(absl > 2, W_GT2_1, jnp.where(absl == 2, W_GT2_0, 0))
+    w = w or _W_DEFAULT
+    b0 = jnp.where(absl > 0, w["sig1"], w["sig0"])
+    b1 = jnp.where(absl > 1, w["gt1_1"],
+                   jnp.where(absl == 1, w["gt1_0"], 0))
+    b2 = jnp.where(absl > 2, w["gt2_1"],
+                   jnp.where(absl == 2, w["gt2_0"], 0))
     rem = golomb_rice_bits(jnp.maximum(absl - 3, 0), k) * BITS_ONE
     b3 = jnp.where(absl > 2, rem, 0)
     sign = jnp.where(absl > 0, W_SIGN, 0)
     return b0 + b1 + b2 + b3 + sign
 
 
-def estimate_tu_bits(levels: jnp.ndarray, log2: int) -> jnp.ndarray:
+def estimate_tu_bits(levels: jnp.ndarray, log2: int,
+                     qp: int | None = None) -> jnp.ndarray:
     """Approximate CABAC bits for a quantized TU [..., N, N] -> [...] int32
     (1/BITS_ONE units). Includes cbf, last-position, coded_sub_block_flags,
-    and the per-coefficient ladder. Zero TU costs W_CBF0."""
+    and the per-coefficient ladder. Zero TU costs the cbf=0 weight. qp
+    (static) selects the regression-fitted weight set for that QP."""
+    w = bin_weights(qp)
     n = 1 << log2
     absl = jnp.abs(levels).astype(jnp.int32)
     nz = absl > 0
@@ -145,7 +193,7 @@ def estimate_tu_bits(levels: jnp.ndarray, log2: int) -> jnp.ndarray:
         jnp.arange(n * n, dtype=jnp.int32))  # scanpos -> flat (y*n+x)
     last_flat = order[jnp.maximum(last_scan, 0)]
     ly, lx = last_flat // n, last_flat % n
-    lb = jnp.asarray(_last_pos_bits(n))
+    lb = jnp.asarray(_last_pos_bits(n, w["last"]))
     last_bits = lb[ly] + lb[lx]
 
     # per-CG: coded flags + per-coeff ladder with per-CG rice k.
@@ -165,7 +213,7 @@ def estimate_tu_bits(levels: jnp.ndarray, log2: int) -> jnp.ndarray:
     if n > 4:
         last_cg_scan = jnp.max(
             jnp.where(cg_nz, cg_pos, -1), axis=(-2, -1))
-        csbf_bits = jnp.maximum(last_cg_scan - 1, 0) * W_CSBF
+        csbf_bits = jnp.maximum(last_cg_scan - 1, 0) * w["csbf"]
         # coefficients in zero CGs cost nothing (skipped by csbf=0).
         coeff_mask = jnp.repeat(jnp.repeat(cg_nz, 4, axis=-2), 4, axis=-1)
     else:
@@ -176,12 +224,70 @@ def estimate_tu_bits(levels: jnp.ndarray, log2: int) -> jnp.ndarray:
     # (the last coeff's sig flag is implied = 1 -> count it via level_bits
     # but remove one W_SIG1... modeling detail absorbed by calibration).
     in_range = pos <= last_scan[..., None, None]
-    lb_coeff = level_bits(absl, k_full)
+    lb_coeff = level_bits(absl, k_full, w)
     coeff_bits = jnp.sum(
         jnp.where(coeff_mask & in_range, lb_coeff, 0), axis=(-2, -1))
 
-    total = (W_CBF1 + last_bits + csbf_bits + coeff_bits)
-    return jnp.where(any_nz, total, W_CBF0).astype(jnp.int32)
+    total = (w["cbf1"] + last_bits + csbf_bits + coeff_bits)
+    return jnp.where(any_nz, total, w["cbf0"]).astype(jnp.int32)
+
+
+def tu_bit_features(levels: np.ndarray, log2: int) -> np.ndarray:
+    """Per-bin-type counts behind estimate_tu_bits, for the offline weight
+    regression (tools/fit_rate_constants.py). levels [N, N] int. Returns
+    [len(_W_FIELDS) + 1] float64: counts for (sig0, sig1, gt1_0, gt1_1,
+    gt2_0, gt2_1, csbf, last-prefix, cbf1, cbf0) followed by the fixed
+    bypass bits (remainders + signs + last suffix), so that
+      estimate = counts . weights + bypass * BITS_ONE
+    reproduces estimate_tu_bits exactly for the same weights."""
+    n = 1 << log2
+    absl = np.abs(np.asarray(levels, np.int64))
+    nz = absl > 0
+    f = np.zeros(len(_W_FIELDS) + 1, np.float64)
+    if not nz.any():
+        f[_W_FIELDS.index("cbf0")] = 1
+        return f
+    f[_W_FIELDS.index("cbf1")] = 1
+
+    pos = _scan_pos(n)
+    last_scan = int(np.max(np.where(nz, pos, -1)))
+    ly, lx = np.argwhere(pos == last_scan)[0]
+    lc = _last_pos_counts(n)
+    f[_W_FIELDS.index("last")] = lc[ly, 0] + lc[lx, 0]
+    bypass = float(lc[ly, 1] + lc[lx, 1])
+
+    cg = absl.reshape(n // 4, 4, n // 4, 4)
+    cg_sum = cg.sum(axis=(1, 3))
+    cg_nz = cg_sum > 0
+    k_cg = np.clip(np.floor(np.log2(1.0 + cg_sum / 8.0)).astype(np.int64),
+                   0, 4)
+    k_full = np.repeat(np.repeat(k_cg, 4, axis=0), 4, axis=1)
+    if n > 4:
+        cg_pos = _scan_pos(n // 4)
+        last_cg = int(np.max(np.where(cg_nz, cg_pos, -1)))
+        f[_W_FIELDS.index("csbf")] = max(last_cg - 1, 0)
+        coeff_mask = np.repeat(np.repeat(cg_nz, 4, axis=0), 4, axis=1)
+    else:
+        coeff_mask = np.ones_like(nz)
+    in_range = (pos <= last_scan) & coeff_mask
+
+    a = absl[in_range]
+    f[_W_FIELDS.index("sig0")] = int((a == 0).sum())
+    f[_W_FIELDS.index("sig1")] = int((a > 0).sum())
+    f[_W_FIELDS.index("gt1_0")] = int((a == 1).sum())
+    f[_W_FIELDS.index("gt1_1")] = int((a > 1).sum())
+    f[_W_FIELDS.index("gt2_0")] = int((a == 2).sum())
+    f[_W_FIELDS.index("gt2_1")] = int((a > 2).sum())
+    big = a > 2
+    if big.any():
+        import jax.numpy as _jnp
+        rem = np.asarray(golomb_rice_bits(
+            _jnp.asarray(np.maximum(a[big] - 3, 0).astype(np.int32)),
+            _jnp.asarray(k_full[in_range][big].astype(np.int32))))
+        bypass += float(rem.sum())
+    bypass += float((a > 0).sum())       # signs
+    f[-1] = bypass
+    return f
 
 
 def estimate_mode_bits(is_mpm: jnp.ndarray, mpm_idx: jnp.ndarray):

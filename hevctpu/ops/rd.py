@@ -39,6 +39,6 @@ def mode_rd_costs(preds: jnp.ndarray, orig: jnp.ndarray, log2: int, qp: int,
     err = (coef - deq).astype(jnp.float32)
     dscale = 4.0 ** (log2 - 7)
     dist = jnp.sum(err * err, axis=(-2, -1)) * dscale
-    bits = rate.estimate_tu_bits(lvl, log2)
+    bits = rate.estimate_tu_bits(lvl, log2, qp)
     rd = dist + (lam / rate.BITS_ONE) * bits.astype(jnp.float32)
     return rd, bits, dist

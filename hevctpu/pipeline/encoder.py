@@ -595,8 +595,9 @@ def _tu_step_dyn(ext, levels, orig, mode, fire, oy, ox, n: int, qp, av_z, *,
     res = orig_blk - pred
     log2 = int(np.log2(n))
     coef = transforms.forward_transform(res, log2, dst=dst)
+    scan_tu = quant.scan_sel(mode, log2, is_luma)
     if rdoq_lam > 0.0:
-        lvl = quant.quantize_rdoq(coef, log2, qp, rdoq_lam)
+        lvl = quant.quantize_rdoq(coef, log2, qp, rdoq_lam, scan=scan_tu)
     else:
         lvl = quant.quantize(coef, log2, qp)
     use_ts = jnp.zeros((ba,), bool)
@@ -609,7 +610,8 @@ def _tu_step_dyn(ext, levels, orig, mode, fire, oy, ox, n: int, qp, av_z, *,
         shift = rom.MAX_TR_DYNAMIC_RANGE - 8 - log2
         coef_s = res * (1 << shift)
         if rdoq_lam > 0.0:
-            lvl_s = quant.quantize_rdoq(coef_s, log2, qp, rdoq_lam)
+            lvl_s = quant.quantize_rdoq(coef_s, log2, qp, rdoq_lam,
+                                        scan=scan_tu)
         else:
             lvl_s = quant.quantize(coef_s, log2, qp)
         dscale = 4.0 ** (log2 - 7)
@@ -618,15 +620,14 @@ def _tu_step_dyn(ext, levels, orig, mode, fire, oy, ox, n: int, qp, av_z, *,
         def j_cost(lv, cf):
             err = (cf - quant.dequantize(lv, log2, qp)).astype(jnp.float32)
             d = jnp.sum(err * err, axis=(-2, -1)) * dscale
-            return d + lam_u * _rate.estimate_tu_bits(lv, log2).astype(
+            return d + lam_u * _rate.estimate_tu_bits(lv, log2, qp).astype(
                 jnp.float32)
 
         use_ts = j_cost(lvl_s, coef_s) < j_cost(lvl, coef)
         lvl = jnp.where(use_ts[:, None, None], lvl_s, lvl)
         coef = jnp.where(use_ts[:, None, None], coef_s, coef)
     if sbh:
-        lvl = quant.sign_bit_hide(
-            lvl, coef, log2, qp, quant.scan_sel(mode, log2, is_luma))
+        lvl = quant.sign_bit_hide(lvl, coef, log2, qp, scan_tu)
     cbf = jnp.any(lvl != 0, axis=(-2, -1))
     deq = quant.dequantize(lvl, log2, qp)
     rinv_t = transforms.inverse_transform(deq, log2, dst=dst)

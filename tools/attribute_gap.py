@@ -144,7 +144,10 @@ def main():
                            "bd_psnr_db": bdp}
             print(f"[{name}/{vname}] BD-rate {bdr:+.2f}%  "
                   f"BD-PSNR {bdp:+.3f} dB", flush=True)
-        result[name] = cdoc
+            # incremental write: long runs survive interruption
+            result[name] = cdoc
+            with open(args.out, "w") as f:
+                json.dump(result, f, indent=1)
 
     with open(args.out, "w") as f:
         json.dump(result, f, indent=1)

@@ -1,0 +1,183 @@
+"""Regression-fit the stateless rate model's per-bin weights against the
+exact CABAC coder, per QP (VERDICT r3 item 6).
+
+The dense search prices every candidate with ops/rate.py's stateless
+estimate; its per-bin-type weights were hand-set, global across QP — but
+CABAC context skew varies strongly with QP, so one table biases
+cross-size split decisions. This tool:
+
+  1. encodes corpus frames at each CTC QP and extracts every coded luma
+     TU (the real TU population the search prices, not synthetic ones),
+  2. computes each TU's exact fresh-context CABAC bits (CabacCounter over
+     the real residual syntax — the same fractional-bit measure HM's
+     counting coder uses, TEncBinCoderCABACCounter.cpp:63),
+  3. computes the estimator's per-bin-type counts (rate.tu_bit_features,
+     which reproduces estimate_tu_bits exactly), and
+  4. solves weights per QP by least squares, writing
+     hevctpu/ops/rate_weights.py (consumed by rate.bin_weights).
+
+Usage: python tools/fit_rate_constants.py [--frames 2] [--out ...]
+"""
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+QPS = (22, 27, 32, 37)
+
+
+def true_residual_bits(blk, log2, qp, mode=1, comp=0):
+    """Counting-CABAC bits to code one TU's levels with fresh contexts."""
+    from hevctpu.codec import headers
+    from hevctpu.codec.cabac import CabacCounter, ContextSet
+    from hevctpu.codec.syntax import SliceEncoder
+
+    enc = SliceEncoder.__new__(SliceEncoder)
+    enc.cfg = headers.StreamConfig(width=64, height=64, qp=qp,
+                                   sign_data_hiding=False,
+                                   transform_skip=False)
+    enc.levels = {comp: blk}
+    enc.ctx = ContextSet(qp, init_type=0)
+    enc.c = CabacCounter()
+    enc._residual(0, 0, log2, comp, mode)
+    return enc.c.bits
+
+
+def frame_tus(out):
+    """Every coded luma TU (levels, log2) of frame 0 of an encode dict."""
+    tz = out["tusz8"][0]
+    coded = out["coded8"][0]
+    lv = out["levels_y"][0].astype(np.int32)
+    cbf = out["cbf_y"][0]
+    cbf4 = out["cbf4_y"][0]
+    tus, seen = [], set()
+    for sy in range(tz.shape[0]):
+        for sx in range(tz.shape[1]):
+            if not coded[sy, sx]:
+                continue
+            s = int(tz[sy, sx])
+            if s == 2:
+                for q in range(4):
+                    qy, qx = sy * 2 + q // 2, sx * 2 + q % 2
+                    if cbf4[qy, qx]:
+                        tus.append((lv[qy * 4: qy * 4 + 4,
+                                       qx * 4: qx * 4 + 4], 2))
+                continue
+            step = 1 << (s - 3)
+            oy, ox = (sy // step) * step, (sx // step) * step
+            if (oy, ox, s) in seen:
+                continue
+            seen.add((oy, ox, s))
+            if cbf[oy, ox]:
+                n = 1 << s
+                tus.append((lv[oy * 8: oy * 8 + n, ox * 8: ox * 8 + n], s))
+    return tus
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=2)
+    ap.add_argument("--clips", default="pink,scene,detail")
+    ap.add_argument("--max-tus", type=int, default=1200)
+    ap.add_argument("--out", default=os.path.join(
+        ROOT, "hevctpu", "ops", "rate_weights.py"))
+    args = ap.parse_args()
+
+    from hevctpu.ops import rate
+    from hevctpu.pipeline import clips
+    from hevctpu.pipeline.encoder import FrameEncoder
+
+    h, w = 240, 416
+    fitted = {}
+    report = []
+    for qp in QPS:
+        feats, trues = [], []
+        for name in args.clips.split(","):
+            y, u, v = clips.make_clip(name, args.frames, h, w)
+            # SBH off: the estimator models plain sign coding; TS off:
+            # transform TUs only (TS TUs share the same ladder anyway).
+            enc = FrameEncoder(h, w, qp, search="rd", sbh=False, ts=False)
+            out = enc.encode(y, u, v)
+            for blk, log2 in frame_tus(out):
+                feats.append(rate.tu_bit_features(blk, log2))
+                trues.append(true_residual_bits(blk, log2, qp))
+        F = np.stack(feats)
+        t = np.asarray(trues) * rate.BITS_ONE
+        # _residual codes last-pos + levels only: the cbf bins live outside
+        # it. Pin cbf1/cbf0 at their defaults (they act as constant
+        # offsets) and fit the remaining ladder/csbf/last weights.
+        i_cbf1 = rate._W_FIELDS.index("cbf1")
+        i_cbf0 = rate._W_FIELDS.index("cbf0")
+        free = [i for i in range(len(rate._W_FIELDS))
+                if i not in (i_cbf1, i_cbf0)]
+        rhs = t - F[:, -1] * rate.BITS_ONE        # bypass bits are exact
+        A = F[:, free]
+        n_tu = len(F)
+        if n_tu > args.max_tus:
+            idx = np.random.default_rng(0).choice(n_tu, args.max_tus,
+                                                  replace=False)
+            A, rhs = A[idx], rhs[idx]
+        # Ridge toward the hand-calibrated defaults: the count columns are
+        # strongly collinear (every nonzero coeff contributes to sig1 and
+        # one of gt1_*), so an unconstrained solve goes wild. The prior
+        # keeps weights physically sensible; alpha is picked on a holdout.
+        w_old = np.array([rate._W_DEFAULT[rate._W_FIELDS[i]] for i in free])
+        rng = np.random.default_rng(1)
+        perm = rng.permutation(len(A))
+        n_tr = len(A) * 3 // 4
+        tr, va = perm[:n_tr], perm[n_tr:]
+
+        def ridge(alpha):
+            aug_a = np.vstack([A[tr], np.sqrt(alpha) * np.eye(len(free))])
+            aug_b = np.concatenate([rhs[tr], np.sqrt(alpha) * w_old])
+            w, *_ = np.linalg.lstsq(aug_a, aug_b, rcond=None)
+            return np.clip(w, 0.02 * rate.BITS_ONE, 2.0 * rate.BITS_ONE)
+
+        best = None
+        for alpha in (1e1, 1e2, 1e3, 1e4, 1e5):
+            w_try = ridge(alpha)
+            err = np.abs(A[va] @ w_try - rhs[va]).mean()
+            if best is None or err < best[0]:
+                best = (err, alpha, w_try)
+        _, alpha_best, w_free = best
+        w_full = np.array([rate._W_DEFAULT[k] for k in rate._W_FIELDS],
+                          np.float64)
+        w_full[free] = w_free
+        fitted[qp] = tuple(int(round(x)) for x in w_full)
+
+        est_new = A @ w_free
+        ratio_new = est_new.sum() / rhs.sum()
+        ratio_old = (A @ w_old).sum() / rhs.sum()
+        err_new = np.abs(est_new - rhs).mean() / rate.BITS_ONE
+        err_old = np.abs(A @ w_old - rhs).mean() / rate.BITS_ONE
+        report.append(
+            f"qp {qp}: {len(A)} TUs; scale {ratio_old:.3f} -> "
+            f"{ratio_new:.3f}; mean abs err {err_old:.1f} -> "
+            f"{err_new:.1f} bits")
+        print(report[-1], flush=True)
+        print("  weights:", {k: round(v / rate.BITS_ONE, 3) for k, v in
+                             zip(rate._W_FIELDS, fitted[qp])}, flush=True)
+
+    lines = [
+        '"""Regression-fitted per-QP bin weights for ops/rate.py',
+        "(generated by tools/fit_rate_constants.py — do not hand-edit).",
+        "",
+    ] + report + [
+        '"""',
+        "",
+        "# {qp: weights in 1/256-bit units, field order rate._W_FIELDS}",
+        f"FITTED = {fitted!r}",
+        "",
+    ]
+    with open(args.out, "w") as f:
+        f.write("\n".join(lines))
+    print("wrote", args.out)
+
+
+if __name__ == "__main__":
+    main()
