@@ -134,41 +134,64 @@ def quantize_rdoq(coef: jnp.ndarray, log2_size: int, qp: int, lam: float, *,
     #   + λ·last_pos_bits(q)
     # over nonzero candidates q (HM walks this backward serially with
     # context-exact deltas, TComTrQuant.cpp:2619ff; here it is two
-    # cumulative sums over the scan axis, batched over all TUs).
+    # cumulative sums over the scan axis, batched over all TUs). Scans are
+    # applied as STATIC permutations (constant-index gathers XLA folds
+    # into layout shuffles): mode-dependent scans exist only for 4x4/8x8
+    # (H.265 7.4.9.11), where the three variants are evaluated and the
+    # right one selected — cheaper inside the wavefront than a per-TU
+    # traced gather.
+    import os
+    if os.environ.get("HEVCTPU_RDOQ_LASTPOS", "1") in ("0", "false"):
+        hdq = jnp.abs(quantize(coef, log2_size, qp, bit_depth=bit_depth))
+
+        def full_j0(lv):
+            deq = dequantize(lv, log2_size, qp, bit_depth=bit_depth)
+            err = (absc - deq).astype(jnp.float32)
+            d = jnp.sum(err * err, axis=(-2, -1)) * dscale
+            return d + lam_u * rate.estimate_tu_bits(
+                lv, log2_size, qp).astype(jnp.float32)
+
+        take = (full_j0(lvl) <= full_j0(hdq))[..., None, None]
+        lvl = jnp.where(take, lvl, hdq)
+        return jnp.where(coef < 0, -lvl, lvl)
+
     pos_t, idx_t = _tb_scan_tables(log2_size)
-    if scan is None:
-        pos = jnp.asarray(pos_t[0])
-        idx = jnp.asarray(idx_t[0])
-    else:
-        pos = jnp.asarray(pos_t)[scan]               # [..., N, N]
-        idx = jnp.asarray(idx_t)[scan]               # [..., N*N]
+    lastb = _last_bits_scan(log2_size, wq["last"])
     dz = (absc.astype(jnp.float32) ** 2) * dscale    # zero-out distortion
+    mdcs = scan is not None and n <= 8
+    n_scans = 3 if mdcs else 1
 
-    def scanify(x):
-        flat = x.reshape(*x.shape[:-2], n * n)
-        ix = jnp.broadcast_to(idx, flat.shape)
-        return jnp.take_along_axis(flat, ix, axis=-1)
-
-    c_scan = scanify(csel)
-    z_scan = scanify(dz)
-    l_scan = scanify(lvl)
-    csum = jnp.cumsum(c_scan, axis=-1)
-    zsum = jnp.cumsum(z_scan, axis=-1)
-    tail_zero = zsum[..., -1:] - zsum
-    lastb = jnp.asarray(_last_bits_scan(log2_size, wq["last"]))
-    lb_scan = (lastb[0] if scan is None
-               else jnp.asarray(lastb)[scan])        # [..., N*N]
-    j_q = (csum + tail_zero
-           + lam_u * (lb_scan.astype(jnp.float32) + float(wq["cbf1"])))
-    j_q = jnp.where(l_scan != 0, j_q, jnp.inf)
-    q_best = jnp.argmin(j_q, axis=-1)
-    j_best = jnp.min(j_q, axis=-1)
-    # all-zero TU alternative (cbf = 0)
-    j_zero = zsum[..., -1] + lam_u * float(wq["cbf0"])
-    any_nz = jnp.any(l_scan != 0, axis=-1)
-    keep = pos <= q_best[..., None, None]
-    zero_all = (~any_nz) | (j_zero < j_best)
-    lvl = jnp.where(zero_all[..., None, None] | ~keep, 0, lvl)
+    keep_any = None
+    zero_any = None
+    for s in range(n_scans):
+        idx = idx_t[s]                                # static [N*N]
+        flat = (lambda x: x.reshape(*x.shape[:-2], n * n)[..., idx])
+        c_scan = flat(csel)
+        z_scan = flat(dz)
+        l_scan = flat(lvl)
+        csum = jnp.cumsum(c_scan, axis=-1)
+        zsum = jnp.cumsum(z_scan, axis=-1)
+        tail_zero = zsum[..., -1:] - zsum
+        j_q = (csum + tail_zero
+               + lam_u * (jnp.asarray(lastb[s], jnp.float32)
+                          + float(wq["cbf1"])))
+        j_q = jnp.where(l_scan != 0, j_q, jnp.inf)
+        q_best = jnp.argmin(j_q, axis=-1)
+        j_best = jnp.min(j_q, axis=-1)
+        # all-zero TU alternative (cbf = 0)
+        j_zero = zsum[..., -1] + lam_u * float(wq["cbf0"])
+        any_nz = jnp.any(l_scan != 0, axis=-1)
+        keep_s = jnp.asarray(pos_t[s]) <= q_best[..., None, None]
+        zero_s = (~any_nz) | (j_zero < j_best)
+        if not mdcs:
+            keep_any, zero_any = keep_s, zero_s
+        else:
+            sel = (scan == s)[..., None, None]
+            keep_any = keep_s if keep_any is None else jnp.where(
+                sel, keep_s, keep_any)
+            zero_any = (zero_s if zero_any is None else jnp.where(
+                (scan == s), zero_s, zero_any))
+    lvl = jnp.where(zero_any[..., None, None] | ~keep_any, 0, lvl)
 
     # Final arbitration against the hard-decision result with the *full*
     # TU estimator (which sees CG/csbf couplings the per-coefficient model
