@@ -26,9 +26,9 @@ BATCH = 32
 REPS = 3
 
 H2, W2 = 1088, 1920
-FRAMES2 = 4
-BATCH2 = 4
-REPS2 = 3
+FRAMES2 = 8
+BATCH2 = 8   # bigger batch amortizes the wavefront's fixed per-diagonal
+REPS2 = 3    # cost (stage 2 is latency-bound, see PROFILE.md)
 
 # HM 16.20 TAppEncoder, All-Intra main, single CPU thread fallbacks
 # (replaced by measured numbers when the anchor has been run here).
