@@ -57,6 +57,9 @@ def _add_encode(sub):
                         "(overrides -q per picture)")
     p.add_argument("--adaptive-qp", action="store_true",
                    help="apply the preanalysis frame-level QP offset")
+    p.add_argument("--hash", choices=["md5", "crc", "checksum", "none"],
+                   help="decoded-picture-hash SEI type "
+                        "(TComPicYuvMD5.cpp:129-227; default md5)")
 
 
 def _add_decode(sub):
@@ -124,7 +127,8 @@ def cmd_encode(args) -> int:
             adaptive_qp=args.adaptive_qp or None,
             rdoq=False if args.no_rdoq else None,
             sao=False if args.no_sao else None,
-            deblock=False if args.no_deblock else None)
+            deblock=False if args.no_deblock else None,
+            hash_type=args.hash)
     except cfgmod.ConfigError as e:
         print(f"config error: {e}", file=sys.stderr)
         return 2

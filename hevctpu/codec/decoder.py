@@ -48,18 +48,20 @@ class Decoder:
                             "slice before SPS/PPS activation")
                     self._decode_slice(rbsp, nal_type)
                 elif nal_type == headers.NAL_SEI_SUFFIX:
-                    digests = headers.parse_hash_sei(rbsp)
-                    if digests is not None:
+                    parsed = headers.parse_hash_sei(rbsp)
+                    if parsed is not None:
+                        htype, digests = parsed
                         if not self.frames:
                             raise headers.DecodeError(
                                 "decoded-picture-hash SEI before any slice")
-                        got = [headers.plane_md5(p)
-                               for p in self.frames[-1]]
+                        fn = headers._HASH_FN[htype]
+                        got = [fn(p) for p in self.frames[-1]]
                         ok = got == digests
                         self.hashes_ok.append(ok)
                         if not ok:
                             raise headers.DecodeError(
-                                "decoded-picture-hash SEI mismatch")
+                                f"decoded-picture-hash SEI mismatch "
+                                f"({htype})")
                 else:
                     raise headers.DecodeError(
                         f"unsupported NAL unit type {nal_type}")
@@ -165,12 +167,30 @@ def encode_frame_nals(cfg: headers.StreamConfig, fr: dict,
         else:
             rbsp = SliceEncoder(fcfg, fr, i).encode()
         out += bitio.nal_unit(headers.NAL_IDR_W_RADL, rbsp)
-        if "recon_y" in fr:
-            out += bitio.nal_unit(
-                headers.NAL_SEI_SUFFIX,
-                headers.write_hash_sei(fr["recon_y"][i], fr["recon_u"][i],
-                                       fr["recon_v"][i]),
-                temporal_id=0)
+        htype = fcfg.hash_type
+        if htype != "none":
+            if "recon_y" in fr:
+                sei = headers.write_hash_sei(
+                    fr["recon_y"][i], fr["recon_u"][i], fr["recon_v"][i],
+                    htype)
+            elif "hash_checksum" in fr:
+                # device-computed digests (encoder lite path: the recon
+                # planes never cross the host link); only checksum is a
+                # parallel reduction, so that is the type carried.
+                assert htype == "checksum", (
+                    f"hash_type={htype} needs recon planes; the lite "
+                    "encode carries only the device checksum")
+                dig = [int(fr["hash_checksum"][i][c]) & 0xffffffff
+                       for c in range(3)]
+                sei = headers.write_hash_sei_digests(
+                    [bytes([(d >> 24) & 0xff, (d >> 16) & 0xff,
+                            (d >> 8) & 0xff, d & 0xff]) for d in dig],
+                    "checksum")
+            else:
+                sei = None
+            if sei is not None:
+                out += bitio.nal_unit(headers.NAL_SEI_SUFFIX, sei,
+                                      temporal_id=0)
     return bytes(out)
 
 

@@ -13,6 +13,7 @@ H.265 7.3.2-7.3.6.
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 from hevctpu.codec.bitio import BitReader, BitWriter
 
@@ -36,6 +37,10 @@ class StreamConfig:
     transform_skip: bool = True
     deblock: bool = True
     sao: bool = True
+    # decoded-picture-hash SEI type (D.3.19): "md5" | "crc" | "checksum"
+    # | "none". The reference supports all three (TComPicYuvMD5.cpp:
+    # 129-227); HM's default is MD5.
+    hash_type: str = "md5"
 
 
 def _profile_tier_level(bw: BitWriter):
@@ -170,13 +175,72 @@ def plane_md5(plane) -> bytes:
         np.ascontiguousarray(plane).astype(np.uint8).tobytes()).digest()
 
 
-def write_hash_sei(recon_y, recon_u, recon_v) -> bytes:
-    """Decoded-picture-hash suffix-SEI RBSP (MD5 per plane), as the
-    reference emits per picture (SEIEncoder initDecodedPictureHashSEI,
-    called at TEncGOP.cpp:1948; D.2.19 syntax)."""
-    payload = bytes([0])  # hash_type = 0 (MD5)
-    for p in (recon_y, recon_u, recon_v):
-        payload += plane_md5(p)
+@functools.lru_cache(maxsize=None)
+def _crc_top_table():
+    """T[h] = the 16-bit value after shifting 8 zero data bits through the
+    CRC register starting from h<<8 (poly 0x1021). Per-byte step of the
+    reference's bit-serial loop (TComPicYuvMD5.cpp:95-117): data bits
+    enter at the BOTTOM of the register, so one byte advances as
+    crc' = (((crc & 0xff) << 8) | byte) ^ T[crc >> 8]."""
+    tab = []
+    for h in range(256):
+        c = h << 8
+        for _ in range(8):
+            msb = (c >> 15) & 1
+            c = ((c << 1) & 0xffff) ^ (msb * 0x1021)
+        tab.append(c)
+    return tab
+
+
+def plane_crc(plane) -> bytes:
+    """16-bit CRC of one 8-bit sample plane (TComPicYuvMD5::compCRC
+    semantics, TComPicYuvMD5.cpp:90-127: init 0xffff, poly 0x1021, data
+    bits entering at the register bottom MSB-first, then 16 flush bits).
+    Returns 2 bytes big-endian, the SEI digest order."""
+    import numpy as np
+    tab = _crc_top_table()
+    crc = 0xffff
+    for byte in np.ascontiguousarray(plane).astype(np.uint8).tobytes():
+        crc = (((crc & 0xff) << 8) | byte) ^ tab[crc >> 8]
+    # 16 zero flush bits == two zero-byte steps without data.
+    crc = ((crc & 0xff) << 8) ^ tab[crc >> 8]
+    crc = ((crc & 0xff) << 8) ^ tab[crc >> 8]
+    return bytes([(crc >> 8) & 0xff, crc & 0xff])
+
+
+def plane_checksum(plane) -> bytes:
+    """32-bit positional checksum of one 8-bit plane
+    (TComPicYuvMD5::compChecksum, TComPicYuvMD5.cpp:141-166:
+    sum of pel ^ xor_mask(x, y) mod 2^32). 4 bytes big-endian."""
+    import numpy as np
+    p = np.asarray(plane)
+    h, w = p.shape
+    x = np.arange(w, dtype=np.uint32)
+    y = np.arange(h, dtype=np.uint32)
+    xm = (x & 0xff) ^ (x >> 8)
+    ym = (y & 0xff) ^ (y >> 8)
+    mask = (ym[:, None] ^ xm[None, :]) & 0xff
+    s = ((p.astype(np.uint32) & 0xff) ^ mask).sum(dtype=np.uint64)
+    s = int(s) & 0xffffffff
+    return bytes([(s >> 24) & 0xff, (s >> 16) & 0xff,
+                  (s >> 8) & 0xff, s & 0xff])
+
+
+# hash_type code points (D.3.19) and per-plane digest lengths.
+_HASH_CODE = {"md5": 0, "crc": 1, "checksum": 2}
+_HASH_LEN = {"md5": 16, "crc": 2, "checksum": 4}
+_HASH_FN = {"md5": plane_md5, "crc": plane_crc, "checksum": plane_checksum}
+
+
+def write_hash_sei_digests(digests, hash_type: str = "md5") -> bytes:
+    """Decoded-picture-hash suffix-SEI RBSP from precomputed per-plane
+    digests (D.2.19 syntax; SEIEncoder initDecodedPictureHashSEI role,
+    called at TEncGOP.cpp:1948)."""
+    n = _HASH_LEN[hash_type]
+    assert len(digests) == 3 and all(len(d) == n for d in digests)
+    payload = bytes([_HASH_CODE[hash_type]])
+    for d in digests:
+        payload += bytes(d)
     bw = BitWriter()
     bw.u(SEI_DECODED_PICTURE_HASH, 8)   # payload type (< 255, one byte)
     bw.u(len(payload), 8)               # payload size
@@ -186,17 +250,31 @@ def write_hash_sei(recon_y, recon_u, recon_v) -> bytes:
     return bw.data()
 
 
+def write_hash_sei(recon_y, recon_u, recon_v,
+                   hash_type: str = "md5") -> bytes:
+    """Decoded-picture-hash suffix-SEI RBSP computed from the recon planes
+    (MD5 / CRC / checksum per TComPicYuvMD5.cpp:129-227)."""
+    fn = _HASH_FN[hash_type]
+    return write_hash_sei_digests(
+        [fn(p) for p in (recon_y, recon_u, recon_v)], hash_type)
+
+
 def parse_hash_sei(rbsp: bytes):
-    """Parse a decoded-picture-hash SEI; returns list of 3 MD5 digests or
-    None if the SEI is some other payload type."""
+    """Parse a decoded-picture-hash SEI; returns (hash_type_name,
+    [3 digests]) or None if the SEI is some other payload type."""
     br = BitReader(rbsp)
     ptype = br.u(8)
     psize = br.u(8)
     if ptype != SEI_DECODED_PICTURE_HASH:
         return None
-    _req(psize == 49, f"bad decoded-picture-hash SEI size {psize}")
-    _req(br.u(8) == 0, "only MD5 hash_type supported")
-    return [bytes(br.u(8) for _ in range(16)) for _ in range(3)]
+    code = br.u(8)
+    names = {v: k for k, v in _HASH_CODE.items()}
+    _req(code in names, f"unknown decoded-picture-hash type {code}")
+    name = names[code]
+    n = _HASH_LEN[name]
+    _req(psize == 1 + 3 * n,
+         f"bad decoded-picture-hash SEI size {psize} for type {name}")
+    return name, [bytes(br.u(8) for _ in range(n)) for _ in range(3)]
 
 
 def write_slice_header(cfg: StreamConfig) -> BitWriter:

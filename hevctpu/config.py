@@ -52,10 +52,15 @@ class EncoderConfig:
     batch: int = 4                    # frames per device step
     target_kbps: float = 0.0          # >0 enables R-lambda rate control
     adaptive_qp: bool = False         # TM5-step-3 preanalysis QP offset
+    hash_type: str = "md5"            # DecodedPictureHashSEI type
 
     def __post_init__(self):
         if self.search not in ("cnn", "rd"):
             raise ValueError(f"search must be cnn|rd, got {self.search!r}")
+        if self.hash_type not in ("md5", "crc", "checksum", "none"):
+            raise ValueError(
+                f"hash_type must be md5|crc|checksum|none, "
+                f"got {self.hash_type!r}")
         if not 0 <= self.qp <= 51:
             raise ValueError(f"QP out of range: {self.qp}")
         if not 0 <= self.max_tu_depth_intra <= 3:
@@ -76,7 +81,8 @@ class EncoderConfig:
             sign_data_hiding=self.sign_data_hiding,
             max_tu_depth_intra=self.max_tu_depth_intra,
             transform_skip=self.transform_skip,
-            deblock=self.deblock, sao=self.sao)
+            deblock=self.deblock, sao=self.sao,
+            hash_type=self.hash_type)
 
     def encoder_kwargs(self) -> dict:
         """Keyword arguments for FrameEncoder(h, w, qp, **kwargs)."""
@@ -140,6 +146,9 @@ OPTION_MAP = {
     "Batch": ("batch", int),
     "TargetKbps": ("target_kbps", float),
     "AdaptiveQP": ("adaptive_qp", _to_bool),
+    # DecodedPictureHash SEI type: HM signals 1=MD5 via DecodedPictureHash
+    # (TAppEncCfg); we take the name directly.
+    "HashType": ("hash_type", str),
 }
 
 

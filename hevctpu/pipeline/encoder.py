@@ -538,6 +538,89 @@ def _tu_tree_decision(plane: jnp.ndarray, geom: Geometry, qp: int,
 
 
 # ---------------------------------------------------------------------------
+# Wire packing (host link is the bottleneck: ~5-10 MB/s via the TPU
+# tunnel, see PROFILE.md). The lite encode path shrinks the device->host
+# dict: recon planes are replaced by a device-computed positional checksum
+# (the reference's checksum picture-hash, TComPicYuvMD5.cpp:141-166 — the
+# one hash type that is a parallel reduction), levels ship as int8 with a
+# sparse escape sidecar, and boolean planes ship bitpacked.
+# ---------------------------------------------------------------------------
+
+_ESC_MAX = 4096  # escape slots per plane per frame (|level| > 127)
+
+
+def _checksum_plane_device(plane):
+    """[B, H, W] int32 pels -> [B] uint32, TComPicYuvMD5::compChecksum."""
+    h, w = plane.shape[-2:]
+    x = jnp.arange(w, dtype=jnp.uint32)
+    y = jnp.arange(h, dtype=jnp.uint32)
+    xm = (x & 0xff) ^ (x >> 8)
+    ym = (y & 0xff) ^ (y >> 8)
+    mask = (ym[:, None] ^ xm[None, :]) & 0xff
+    vals = (plane.astype(jnp.uint32) & 0xff) ^ mask
+    return jnp.sum(vals, axis=(-2, -1), dtype=jnp.uint32)
+
+
+def _pack_bits_device(x):
+    """Boolean [B, ...] -> uint8 [B, ceil(N/8)] (row-major bit order,
+    np.unpackbits-compatible)."""
+    b = x.shape[0]
+    flat = x.reshape(b, -1).astype(jnp.uint8)
+    n = flat.shape[1]
+    pad = (-n) % 8
+    flat = jnp.pad(flat, ((0, 0), (0, pad)))
+    w = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], jnp.uint8)
+    return (flat.reshape(b, -1, 8) * w).sum(axis=-1, dtype=jnp.uint32) \
+        .astype(jnp.uint8)
+
+
+def _unpack_bits_host(packed, shape):
+    import numpy as _np
+    b = packed.shape[0]
+    n = int(_np.prod(shape))
+    bits = _np.unpackbits(_np.asarray(packed, _np.uint8), axis=1)[:, :n]
+    return bits.reshape((b,) + tuple(shape)).astype(bool)
+
+
+def _pack_levels_device(lvl):
+    """int32 levels [B, H, W] -> (int8 plane, esc_pos [B, E] int32,
+    esc_val [B, E] int32, esc_n [B] int32). Escapes are |v| > 127."""
+    b = lvl.shape[0]
+    flat = lvl.reshape(b, -1)
+    esc = jnp.abs(flat) > 127
+    esc_n = esc.sum(axis=-1).astype(jnp.int32)
+    pos = jax.vmap(
+        lambda m: jnp.nonzero(m, size=_ESC_MAX, fill_value=-1)[0])(esc)
+    val = jnp.take_along_axis(flat, jnp.maximum(pos, 0), axis=-1)
+    val = jnp.where(pos >= 0, val, 0)
+    lv8 = jnp.clip(lvl, -127, 127).astype(jnp.int8)
+    return lv8, pos.astype(jnp.int32), val.astype(jnp.int32), esc_n
+
+
+def _unpack_levels_host(lv8, pos, val, esc_n, dtype):
+    import numpy as _np
+    n_max = int(_np.max(esc_n)) if esc_n.size else 0
+    if n_max > _ESC_MAX:
+        raise ValueError(
+            f"level escape sidecar overflow ({n_max} > {_ESC_MAX}): "
+            "re-encode without lite transfer (lite=False)")
+    out = _np.asarray(lv8).astype(dtype)
+    if n_max:
+        b = out.shape[0]
+        flat = out.reshape(b, -1)
+        for i in range(b):
+            p = pos[i][pos[i] >= 0]
+            flat[i, p] = val[i][: len(p)]
+    return out
+
+
+# lite-dict wire keys: {std key: (pack kind)}; bools are bitpacked with
+# their logical shapes carried host-side from the geometry.
+_LITE_BOOL_KEYS = ("cbf_y", "cbf_u", "cbf_v", "cbf4_y", "ts4_y",
+                   "ts8_u", "ts8_v")
+
+
+# ---------------------------------------------------------------------------
 # Stage 2: wavefront reconstruction
 # ---------------------------------------------------------------------------
 
@@ -743,20 +826,41 @@ class FrameEncoder:
         out["sbh"] = np.bool_(self.sbh)
         return out
 
-    def encode_fused(self, cnn_params: dict, y, u, v):
+    def encode_fused(self, cnn_params: dict, y, u, v, *, lite: bool = False):
         """CNN depth prediction + encode as ONE jitted device program (the
         reference's txt-file handshake, TEncCu.cpp:243-255, as a value
-        dependency): the clip crosses the host->device link once."""
-        out = self._encode_cnn(cnn_params,
-                               jnp.asarray(np.asarray(y, np.uint8)),
-                               jnp.asarray(np.asarray(u, np.uint8)),
-                               jnp.asarray(np.asarray(v, np.uint8)))
-        out = {k: np.asarray(val) for k, val in out.items()}
+        dependency): the clip crosses the host->device link once.
+
+        lite=True ships the wire-packed output dict (no recon planes —
+        the hash SEI comes from the device checksum; int8 levels;
+        bitpacked flags): ~3x fewer device->host bytes, for encode-only
+        pipelines where the host link is the bottleneck."""
+        return self.collect(self.encode_fused_dispatch(
+            cnn_params, y, u, v, lite=lite), lite=lite)
+
+    def encode_fused_dispatch(self, cnn_params: dict, y, u, v, *,
+                              lite: bool = False):
+        """Async half of encode_fused: enqueue the device program and
+        return the on-device output dict WITHOUT blocking, so the caller
+        can overlap the (slow) device->host transfer of one batch with
+        the compute of the next. Pass the result to collect()."""
+        return self._encode_cnn(lite)(
+            cnn_params,
+            jnp.asarray(np.asarray(y, np.uint8)),
+            jnp.asarray(np.asarray(u, np.uint8)),
+            jnp.asarray(np.asarray(v, np.uint8)))
+
+    def collect(self, dev_out: dict, *, lite: bool = False) -> dict:
+        """Fetch a dispatched output dict to host numpy (unpacking the
+        lite wire format back to the standard layout)."""
+        out = {k: np.asarray(val) for k, val in dev_out.items()}
+        if lite:
+            out = self._unpack_lite(out)
         out["sbh"] = np.bool_(self.sbh)
         return out
 
-    @functools.cached_property
-    def _encode_cnn(self):
+    @functools.lru_cache(maxsize=None)
+    def _encode_cnn(self, lite: bool = False):
         from hevctpu.models import convnet2
 
         def impl(params, y, u, v):
@@ -767,9 +871,54 @@ class FrameEncoder:
                     vv.astype(jnp.int32), g.h, g.w))(y, u, v)
             out = self._encode_impl(y, u, v, labels.astype(jnp.int32))
             out["labels"] = labels.astype(jnp.int8)
+            if lite:
+                out = self._pack_lite(out)
             return out
 
         return jax.jit(impl)
+
+    def _pack_lite(self, out: dict) -> dict:
+        """Device-side wire packing (see the module-level note)."""
+        packed = dict(out)
+        for k in ("recon_y", "recon_u", "recon_v"):
+            del packed[k]
+        for comp in ("y", "u", "v"):
+            lv8, pos, val, n = _pack_levels_device(
+                out[f"levels_{comp}"].astype(jnp.int32))
+            packed[f"levels_{comp}"] = lv8
+            packed[f"esc_pos_{comp}"] = pos
+            packed[f"esc_val_{comp}"] = val
+            packed[f"esc_n_{comp}"] = n
+        for k in _LITE_BOOL_KEYS:
+            if k in packed:
+                packed[k] = _pack_bits_device(out[k])
+        return packed
+
+    def _unpack_lite(self, out: dict) -> dict:
+        g = self.geom
+        shapes = {"cbf_y": (g.hp // 8, g.wp // 8),
+                  "cbf_u": (g.hp // 8, g.wp // 8),
+                  "cbf_v": (g.hp // 8, g.wp // 8),
+                  "cbf4_y": (g.hp // 4, g.wp // 4),
+                  "ts4_y": (g.hp // 4, g.wp // 4),
+                  "ts8_u": (g.hp // 8, g.wp // 8),
+                  "ts8_v": (g.hp // 8, g.wp // 8)}
+        res = dict(out)
+        for comp, (hh, ww) in (("y", (g.hp, g.wp)),
+                               ("u", (g.hp // 2, g.wp // 2)),
+                               ("v", (g.hp // 2, g.wp // 2))):
+            lv8 = out[f"levels_{comp}"]
+            res[f"levels_{comp}"] = _unpack_levels_host(
+                lv8, out.pop(f"esc_pos_{comp}"),
+                out.pop(f"esc_val_{comp}"),
+                out.pop(f"esc_n_{comp}"), np.int16)
+            for kk in (f"esc_pos_{comp}", f"esc_val_{comp}",
+                       f"esc_n_{comp}"):
+                res.pop(kk, None)
+        for k in _LITE_BOOL_KEYS:
+            if k in res:
+                res[k] = _unpack_bits_host(out[k], shapes[k])
+        return res
 
     # -- implementation ----------------------------------------------------
 
@@ -963,6 +1112,27 @@ class FrameEncoder:
             out["recon_y"] = fy[:, : g.h, : g.w]
             out["recon_u"] = fu[:, : g.h // 2, : g.w // 2]
             out["recon_v"] = fv[:, : g.h // 2, : g.w // 2]
+        # Device-side picture digests + distortion: the checksum hash type
+        # of the decoded-picture-hash SEI (TComPicYuvMD5.cpp:141-166) is a
+        # parallel reduction, so the conforming hash SEI can be emitted
+        # without ever transferring the recon planes; the per-plane SSE
+        # feeds PSNR reporting (TEncGOP xCalculateAddPSNR role) the same
+        # way.
+        out["hash_checksum"] = jnp.stack(
+            [_checksum_plane_device(out["recon_y"]),
+             _checksum_plane_device(out["recon_u"]),
+             _checksum_plane_device(out["recon_v"])], axis=-1)
+        out["sse"] = jnp.stack(
+            [jnp.sum(jnp.square((out["recon_y"]
+                                 - yp[:, : g.h, : g.w]).astype(jnp.float32)),
+                     axis=(-2, -1)),
+             jnp.sum(jnp.square((out["recon_u"]
+                                 - up[:, : g.h // 2, : g.w // 2]
+                                 ).astype(jnp.float32)), axis=(-2, -1)),
+             jnp.sum(jnp.square((out["recon_v"]
+                                 - vp[:, : g.h // 2, : g.w // 2]
+                                 ).astype(jnp.float32)), axis=(-2, -1))],
+            axis=-1)
         # Downcast outputs to their value ranges: the result dict crosses
         # the (slow) device->host link, and at int32 it is ~3x larger than
         # it needs to be. Consumers upcast at their boundaries.
