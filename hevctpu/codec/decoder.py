@@ -42,7 +42,9 @@ class Decoder:
                     self.pps = headers.parse_pps(rbsp)
                 elif nal_type == headers.NAL_VPS:
                     continue
-                elif nal_type == headers.NAL_IDR_W_RADL:
+                elif nal_type in (headers.NAL_IDR_W_RADL, 20, 21):
+                    # IDR_W_RADL / IDR_N_LP / CRA — all-intra IRAPs (HM's
+                    # DecodingRefreshType=1 emits CRA after the first IDR)
                     if self.sps is None or self.pps is None:
                         raise headers.DecodeError(
                             "slice before SPS/PPS activation")

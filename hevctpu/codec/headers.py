@@ -317,6 +317,43 @@ def _req(cond, msg: str):
         raise DecodeError(msg)
 
 
+def _parse_st_rps(br: BitReader, idx: int, num_sets: int,
+                  num_delta_pocs: list) -> int:
+    """Parse (and discard) one st_ref_pic_set (7.3.7), returning its
+    NumDeltaPocs so later sets/slice headers can inter-predict from it.
+    Needed to decode HM's streams: the reference encoder writes RPS
+    entries even for All-Intra (TEncCavlc codeShortTermRefPicSet), where
+    every picture is an IRAP and the sets are never referenced."""
+    pred = br.flag() if idx != 0 else False
+    if pred:
+        delta_idx = (br.ue() + 1) if idx == num_sets else 1
+        _req(delta_idx <= idx, "st_ref_pic_set delta_idx out of range")
+        ref_n = num_delta_pocs[idx - delta_idx]
+        br.flag()            # delta_rps_sign
+        br.ue()              # abs_delta_rps_minus1
+        n = 0
+        for _ in range(ref_n + 1):
+            used = br.flag()                 # used_by_curr_pic_flag
+            inc = True
+            if not used:
+                inc = br.flag()              # use_delta_flag
+            if used or inc:
+                n += 1
+        # NumDeltaPocs of the predicted set is <= n; parsing-exactness of
+        # the count is not needed for IRAP-only streams (sets unused),
+        # but the bit positions above are.
+        return n
+    neg = br.ue()
+    pos = br.ue()
+    for _ in range(neg):
+        br.ue()              # delta_poc_s0_minus1
+        br.flag()            # used_by_curr_pic_s0_flag
+    for _ in range(pos):
+        br.ue()
+        br.flag()
+    return neg + pos
+
+
 def parse_sps(rbsp: bytes) -> dict:
     br = BitReader(rbsp)
     br.u(4 + 3 + 1)
@@ -345,9 +382,17 @@ def parse_sps(rbsp: bytes) -> dict:
     sps["amp"] = br.flag()
     sps["sao"] = br.flag()
     _req(not br.flag(), "PCM unsupported")
-    _req(br.ue() == 0, "ref pic sets unsupported")
+    # short-term RPS list: present in HM streams even for All-Intra
+    # (never referenced — every picture is an IRAP). Parse & discard.
+    num_rps = br.ue()
+    _req(num_rps <= 64, "too many st_ref_pic_sets")
+    ndp: list = []
+    for i in range(num_rps):
+        ndp.append(_parse_st_rps(br, i, num_rps, ndp))
+    sps["num_st_rps"] = num_rps
+    sps["st_rps_ndp"] = ndp
     _req(not br.flag(), "long-term refs unsupported")
-    br.flag()  # temporal mvp
+    sps["temporal_mvp"] = br.flag()
     sps["strong_intra_smoothing"] = br.flag()
     return sps
 
@@ -404,9 +449,19 @@ def parse_slice_header(rbsp: bytes, sps: dict, pps: dict, nal_type: int):
     _req(sh["slice_type"] == 2, "only I slices supported")
     if pps["output_flag_present"]:
         br.flag()
-    if nal_type not in (19, 20):  # not IDR: poc etc.
-        br.u(sps["log2_max_poc_lsb"])
-        raise DecodeError("non-IDR slices unsupported")
+    if nal_type not in (19, 20):  # not IDR: POC + RPS (e.g. HM's CRA)
+        _req(nal_type == 21, "only IRAP slices supported (IDR/CRA)")
+        sh["poc_lsb"] = br.u(sps["log2_max_poc_lsb"])
+        if br.flag():            # short_term_ref_pic_set_sps_flag
+            n = sps.get("num_st_rps", 0)
+            if n > 1:
+                br.u((n - 1).bit_length())   # short_term_ref_pic_set_idx
+        else:
+            _parse_st_rps(br, sps.get("num_st_rps", 0),
+                          sps.get("num_st_rps", 0),
+                          list(sps.get("st_rps_ndp", [])))
+        if sps.get("temporal_mvp"):
+            br.flag()            # slice_temporal_mvp_enabled_flag
     if sps["sao"]:
         sh["sao_luma"] = br.flag()
         sh["sao_chroma"] = br.flag()

@@ -53,6 +53,7 @@ class EncoderConfig:
     target_kbps: float = 0.0          # >0 enables R-lambda rate control
     adaptive_qp: bool = False         # TM5-step-3 preanalysis QP offset
     hash_type: str = "md5"            # DecodedPictureHashSEI type
+    rate_model: str = "ctx"           # search rate estimator: ctx | global
 
     def __post_init__(self):
         if self.search not in ("cnn", "rd"):
@@ -61,6 +62,9 @@ class EncoderConfig:
             raise ValueError(
                 f"hash_type must be md5|crc|checksum|none, "
                 f"got {self.hash_type!r}")
+        if self.rate_model not in ("ctx", "global"):
+            raise ValueError(
+                f"rate_model must be ctx|global, got {self.rate_model!r}")
         if not 0 <= self.qp <= 51:
             raise ValueError(f"QP out of range: {self.qp}")
         if not 0 <= self.max_tu_depth_intra <= 3:
@@ -89,7 +93,7 @@ class EncoderConfig:
         return dict(search=self.search, rdoq=self.rdoq, sao=self.sao,
                     deblock=self.deblock, sbh=self.sign_data_hiding,
                     nxn=self.nxn, tu_split=self.max_tu_depth_intra > 0,
-                    ts=self.transform_skip)
+                    ts=self.transform_skip, rate_model=self.rate_model)
 
     def make_encoder(self, qp: Optional[int] = None):
         from hevctpu.pipeline.encoder import FrameEncoder
@@ -149,6 +153,7 @@ OPTION_MAP = {
     # DecodedPictureHash SEI type: HM signals 1=MD5 via DecodedPictureHash
     # (TAppEncCfg); we take the name directly.
     "HashType": ("hash_type", str),
+    "RateModel": ("rate_model", str),
 }
 
 

@@ -25,12 +25,19 @@ from hevctpu.ops import quant, rate, transforms
 
 
 def mode_rd_costs(preds: jnp.ndarray, orig: jnp.ndarray, log2: int, qp: int,
-                  *, lam: float, dst: bool = False):
+                  *, lam: float, dst: bool = False, is_luma: bool = True,
+                  rate_model: str = "ctx", cbf_ctx: int | None = None):
     """RD cost of coding each candidate prediction.
 
     preds [..., M, N, N] int32, orig [..., N, N] int32. Returns
-    (rd [..., M] float32, bits [..., M] int32 in 1/BITS_ONE units,
+    (rd [..., M] float32, bits [..., M] float32 in 1/BITS_ONE units,
     dist [..., M] float32 ~ pixel-domain SSE).
+
+    rate_model "ctx" prices the exact residual bin stream at init context
+    states (ops/rate_ctx — the counting-CABAC discipline of the
+    reference's FAST_BIT_EST trials); "global" is the per-bin-type
+    weight model (ops/rate). cbf_ctx is the cbf flag's context index
+    (luma: 1 at CU-root TUs, else 0; chroma: the transform depth).
     """
     res = orig[..., None, :, :] - preds
     coef = transforms.forward_transform(res, log2, dst=dst)
@@ -39,6 +46,12 @@ def mode_rd_costs(preds: jnp.ndarray, orig: jnp.ndarray, log2: int, qp: int,
     err = (coef - deq).astype(jnp.float32)
     dscale = 4.0 ** (log2 - 7)
     dist = jnp.sum(err * err, axis=(-2, -1)) * dscale
-    bits = rate.estimate_tu_bits(lvl, log2, qp)
+    if rate_model == "ctx":
+        from hevctpu.ops import rate_ctx
+        bits = rate_ctx.estimate_tu_bits_ctx(
+            lvl, log2, qp, is_luma=is_luma,
+            cbf_ctx=1 if cbf_ctx is None and is_luma else (cbf_ctx or 0))
+    else:
+        bits = rate.estimate_tu_bits(lvl, log2, qp)
     rd = dist + (lam / rate.BITS_ONE) * bits.astype(jnp.float32)
     return rd, bits, dist

@@ -141,7 +141,8 @@ def _grid_avail(geom: Geometry, n: int, scale: int = 1) -> np.ndarray:
 def _dense_costs(plane: jnp.ndarray, geom: Geometry, n: int,
                  qp: int | None = None, lam: float = 0.0, *,
                  is_luma: bool = True, scale: int = 1,
-                 bsrc: jnp.ndarray | None = None) -> jnp.ndarray:
+                 bsrc: jnp.ndarray | None = None,
+                 rate_model: str = "ctx") -> jnp.ndarray:
     """Cost of all 35 modes for every aligned n x n position.
 
     plane [B, hp, wp] (luma). Returns [B, R, C, 35]. With qp=None this is
@@ -202,7 +203,8 @@ def _dense_costs(plane: jnp.ndarray, geom: Geometry, n: int,
             return cost.satd(preds, bk_c[..., None, :, :])    # [B,rows,C,35]
         log2 = int(np.log2(n))
         rdc, _, _ = rd.mode_rd_costs(preds, bk_c, log2, qp, lam=lam,
-                                     dst=(is_luma and n == 4))
+                                     dst=(is_luma and n == 4),
+                                     is_luma=is_luma, rate_model=rate_model)
         return rdc
 
     if k == 1:
@@ -242,21 +244,36 @@ def _mpm_modes(best: jnp.ndarray):
     return (m0.astype(jnp.int32), m1.astype(jnp.int32), m2.astype(jnp.int32))
 
 
-def _mode_bits_at(cand: jnp.ndarray, m0, m1, m2, scale: float) -> jnp.ndarray:
+_MB_GLOBAL = (1.8, 2.8, 5.8)  # legacy fitted (mpm0, mpm1/2, rem) bits
+
+
+def _mode_bits_tab(qp: int, rate_model: str):
+    """(mpm_idx0, mpm_idx1/2, non-mpm) signaling bits."""
+    if rate_model == "ctx":
+        from hevctpu.ops import rate_ctx
+        return rate_ctx.mode_signal_bits(qp)
+    return _MB_GLOBAL
+
+
+def _mode_bits_at(cand: jnp.ndarray, m0, m1, m2, scale: float,
+                  mb=_MB_GLOBAL) -> jnp.ndarray:
     """scale-weighted signaling cost of the candidate modes [..., K] given
     the MPM triple [...] (the reference's λ·xModeBitsIntra term,
-    TEncSearch.cpp:2296-2320,5530). bins: mpm flag ~0.8 + tu idx (1 or 2
-    bypass); non-mpm: flag + 5 bypass."""
+    TEncSearch.cpp:2296-2320,5530): prev_intra_luma_pred_flag ctx bin +
+    mpm_idx truncated-unary bypass, or flag + 5 bypass. mb holds the
+    three totals — init-context-state exact under rate_model "ctx"."""
     is0 = cand == m0[..., None]
     is12 = (cand == m1[..., None]) | (cand == m2[..., None])
-    bits = jnp.where(is0, 1.8, jnp.where(is12, 2.8, 5.8))
+    bits = jnp.where(is0, mb[0], jnp.where(is12, mb[1], mb[2]))
     return (scale * bits).astype(jnp.float32)
 
 
 def _dense_rd_candidates(plane: jnp.ndarray, geom: Geometry, n: int,
                          cand: jnp.ndarray, qp: int, lam: float, *,
                          is_luma: bool = True, scale: int = 1,
-                         bsrc: jnp.ndarray | None = None) -> jnp.ndarray:
+                         bsrc: jnp.ndarray | None = None,
+                         rate_model: str = "ctx",
+                         cbf_ctx: int | None = None) -> jnp.ndarray:
     """Full-RD cost of the selected candidate modes at every aligned
     n x n position: predict (all 35, one MXU matmul) -> gather the K
     candidates -> transform + quant + rate estimate only for those.
@@ -303,7 +320,9 @@ def _dense_rd_candidates(plane: jnp.ndarray, geom: Geometry, n: int,
         sel = jnp.take_along_axis(
             preds, cd_c[..., None, None].astype(jnp.int32), axis=-3)
         rdc, _, _ = rd.mode_rd_costs(sel, bk_c, log2, qp, lam=lam,
-                                     dst=(is_luma and n == 4))
+                                     dst=(is_luma and n == 4),
+                                     is_luma=is_luma, rate_model=rate_model,
+                                     cbf_ctx=cbf_ctx)
         return rdc
 
     if k == 1:
@@ -322,7 +341,8 @@ def _dense_rd_candidates(plane: jnp.ndarray, geom: Geometry, n: int,
 _NUM_CAND = {4: 8, 8: 8, 16: 3, 32: 3, 64: 3}
 
 
-def _pass1_candidates(satd: jnp.ndarray, lam: float, n: int):
+def _pass1_candidates(satd: jnp.ndarray, lam: float, n: int,
+                      mb=_MB_GLOBAL):
     """HM's pass-1 preselection: SATD + sqrt(λ)·mode-bits, keep top-N, then
     force-include the 3 MPMs. satd [B, R, C, 35] -> (cand [B,R,C,N+3],
     (m0,m1,m2)). MPMs derive from the provisional SATD argmin grid."""
@@ -332,7 +352,7 @@ def _pass1_candidates(satd: jnp.ndarray, lam: float, n: int):
     all_modes = jnp.broadcast_to(jnp.asarray(_MODE_IDX),
                                  satd.shape)
     p1 = satd.astype(jnp.float32) + _mode_bits_at(all_modes, m0, m1, m2,
-                                                  sqlam)
+                                                  sqlam, mb)
     _, topn = jax.lax.top_k(-p1, _NUM_CAND[n])
     cand = jnp.concatenate(
         [topn.astype(jnp.int32), m0[..., None], m1[..., None],
@@ -341,7 +361,8 @@ def _pass1_candidates(satd: jnp.ndarray, lam: float, n: int):
 
 
 def _dense_mode_decision(plane: jnp.ndarray, geom: Geometry, qp: int,
-                         bsrc: jnp.ndarray | None = None):
+                         bsrc: jnp.ndarray | None = None,
+                         rate_model: str = "ctx"):
     """RD-best mode + cost for every CU/PU position at every depth.
 
     Two-pass, exactly the reference's structure vectorized: pass 1 scores
@@ -354,13 +375,15 @@ def _dense_mode_decision(plane: jnp.ndarray, geom: Geometry, qp: int,
     once; the 4 entry is the per-PU cost of PART_NxN at depth 3
     (TEncCu.cpp:815-827)."""
     lam = rate.lambda_rd(qp)
+    mb = _mode_bits_tab(qp, rate_model)
     modes, costs = {}, {}
     satd32 = None
     for n in (32, 16, 8, 4):
         satd = _dense_costs(plane, geom, n, None, 0.0, bsrc=bsrc)
-        cand, (m0, m1, m2) = _pass1_candidates(satd, lam, n)
-        rdc = _dense_rd_candidates(plane, geom, n, cand, qp, lam, bsrc=bsrc)
-        rdc = rdc + _mode_bits_at(cand, m0, m1, m2, lam)
+        cand, (m0, m1, m2) = _pass1_candidates(satd, lam, n, mb)
+        rdc = _dense_rd_candidates(plane, geom, n, cand, qp, lam, bsrc=bsrc,
+                                   rate_model=rate_model)
+        rdc = rdc + _mode_bits_at(cand, m0, m1, m2, lam, mb)
         best = jnp.argmin(rdc, axis=-1)
         modes[n] = jnp.take_along_axis(cand, best[..., None],
                                        axis=-1)[..., 0]
@@ -371,12 +394,12 @@ def _dense_mode_decision(plane: jnp.ndarray, geom: Geometry, qp: int,
     # 32x32 TUs at each shared candidate mode.
     b, r32, c32n = satd32.shape[:3]
     s64 = satd32.reshape(b, r32 // 2, 2, c32n // 2, 2, 35).sum(axis=(2, 4))
-    cand64, (m0, m1, m2) = _pass1_candidates(s64, lam, 64)
+    cand64, (m0, m1, m2) = _pass1_candidates(s64, lam, 64, mb)
     cand64_32 = jnp.repeat(jnp.repeat(cand64, 2, axis=1), 2, axis=2)
     rd_q = _dense_rd_candidates(plane, geom, 32, cand64_32, qp, lam,
-                                bsrc=bsrc)
+                                bsrc=bsrc, rate_model=rate_model)
     rd64 = (rd_q.reshape(b, r32 // 2, 2, c32n // 2, 2, cand64.shape[-1])
-            .sum(axis=(2, 4))) + _mode_bits_at(cand64, m0, m1, m2, lam)
+            .sum(axis=(2, 4))) + _mode_bits_at(cand64, m0, m1, m2, lam, mb)
     best = jnp.argmin(rd64, axis=-1)
     modes[64] = jnp.take_along_axis(cand64, best[..., None], axis=-1)[..., 0]
     costs[64] = jnp.min(rd64, axis=-1)
@@ -388,7 +411,8 @@ _CHROMA_LIST = np.array([rom.PLANAR_IDX, rom.VER_IDX, rom.HOR_IDX,
 
 
 def _dense_chroma_decision(up, vp, geom: Geometry, qp: int, qp_c: int,
-                           luma_modes: dict, bsrc_u=None, bsrc_v=None):
+                           luma_modes: dict, bsrc_u=None, bsrc_v=None,
+                           rate_model: str = "ctx"):
     """Per-CU chroma mode selection (intra_chroma_pred_mode search).
 
     The reference searches DM + {planar, ver, hor, DC} per chroma PU with
@@ -404,6 +428,11 @@ def _dense_chroma_decision(up, vp, geom: Geometry, qp: int, qp_c: int,
     lam = rate.lambda_rd(qp)
     w_c = rate.chroma_dist_weight(qp, qp_c)
     lam_c = lam / w_c
+    if rate_model == "ctx":
+        from hevctpu.ops import rate_ctx
+        sel_bits = rate_ctx.chroma_sel_bits(qp)
+    else:
+        sel_bits = (2.6, 2.6, 2.6, 2.6, 0.6)
     csel, cmode, ccost = {}, {}, {}
     for n in (64, 32, 16, 8):
         m = n // 2
@@ -412,13 +441,15 @@ def _dense_chroma_decision(up, vp, geom: Geometry, qp: int, qp_c: int,
         cand = jnp.where(cand == lm[..., None], 34, cand)
         cand = jnp.concatenate([cand, lm[..., None]], axis=-1)  # slot 4 = DM
         rd_u = _dense_rd_candidates(up, geom, m, cand, qp_c, lam_c,
-                                    is_luma=False, scale=2, bsrc=bsrc_u)
+                                    is_luma=False, scale=2, bsrc=bsrc_u,
+                                    rate_model=rate_model, cbf_ctx=0)
         rd_v = _dense_rd_candidates(vp, geom, m, cand, qp_c, lam_c,
-                                    is_luma=False, scale=2, bsrc=bsrc_v)
+                                    is_luma=False, scale=2, bsrc=bsrc_v,
+                                    rate_model=rate_model, cbf_ctx=0)
         jc = rd_u + rd_v                                     # [B,R,C,5]
-        # signaling: DM = 1 ctx bin (~0.6 b); list = 1 ctx + 2 bypass bins.
-        jc = jc + jnp.asarray([2.6, 2.6, 2.6, 2.6, 0.6],
-                              jnp.float32) * lam_c
+        # signaling: DM = 1 ctx bin; list entry = 1 ctx + 2 bypass bins
+        # (init-context-state exact under rate_model "ctx").
+        jc = jc + jnp.asarray(sel_bits, jnp.float32) * lam_c
         best = jnp.argmin(jc, axis=-1).astype(jnp.int32)
         csel[n] = best
         cmode[n] = jnp.take_along_axis(cand, best[..., None],
@@ -427,36 +458,48 @@ def _dense_chroma_decision(up, vp, geom: Geometry, qp: int, qp_c: int,
     return csel, cmode, ccost
 
 
-def _rd_split_labels(costs: dict, qp: int) -> jnp.ndarray:
+def _rd_split_labels(costs: dict, qp: int,
+                     rate_model: str = "ctx") -> jnp.ndarray:
     """Bottom-up RD quadtree decision -> per-CTU 16-label vectors.
 
     The reference compares the merged cost of the four children against the
     parent CU after adding the split-flag bits (TEncCu::xCompressCU
     :858-867 + xCheckBestMode :1084). Dense equivalent: pool child costs
-    2x2 and take the min at each level. Per-CU overhead constants model the
-    split flag + per-CU fixed syntax (chroma mode, cbf bins).
+    2x2 and take the min at each level.
+
+    Under rate_model "ctx" every syntax element is already counted where
+    it is coded (cbf/chroma-mode/part_mode in the per-CU costs), so the
+    only cross-level terms are the split_cu_flag bins themselves, priced
+    at init state (middle neighbor-depth context). The legacy "global"
+    model keeps the fitted oh_cu/oh_split scalars.
     Returns labels [B, rc*cc, 16] int32 in the CNN-label layout."""
     lam = rate.lambda_rd(qp)
-    oh_cu = lam * 3.2    # per-CU fixed bins: chroma mode + cbf flags
-    oh_split = lam * 0.8  # split_cu_flag bin
+    if rate_model == "ctx":
+        from hevctpu.ops import rate_ctx
+        s0, s1 = rate_ctx.split_cu_bits(qp)
+        oh_cu = 0.0
+        oh_self, oh_split = lam * s0, lam * s1
+    else:
+        oh_cu = lam * 3.2    # per-CU fixed bins: chroma mode + cbf flags
+        oh_self, oh_split = 0.0, lam * 0.8  # split_cu_flag bin
 
     def pool4(x):
         b, r, c = x.shape
         return x.reshape(b, r // 2, 2, c // 2, 2).sum(axis=(2, 4))
 
-    c8 = costs[8] + oh_cu
+    c8 = costs[8] + oh_cu                    # min CU: no split flag
     c16_split = pool4(c8) + oh_split
-    c16_self = costs[16] + oh_cu
+    c16_self = costs[16] + oh_cu + oh_self
     take16 = c16_self <= c16_split                     # [B, R16, C16]
     c16 = jnp.minimum(c16_self, c16_split)
 
     c32_split = pool4(c16) + oh_split
-    c32_self = costs[32] + oh_cu
+    c32_self = costs[32] + oh_cu + oh_self
     take32 = c32_self <= c32_split
     c32 = jnp.minimum(c32_self, c32_split)
 
     c64_split = pool4(c32) + oh_split
-    c64_self = costs[64] + 4 * oh_cu                   # codes as 4 TU32s
+    c64_self = costs[64] + 4 * oh_cu + oh_self         # codes as 4 TU32s
     take64 = c64_self <= c64_split
 
     # labels per 16x16 block: 0/1/2/3 by the nesting decisions.
@@ -472,7 +515,8 @@ def _rd_split_labels(costs: dict, qp: int) -> jnp.ndarray:
 
 
 def _tu_tree_decision(plane: jnp.ndarray, geom: Geometry, qp: int,
-                      cu_log2: int, mode_cu: jnp.ndarray, bsrc=None):
+                      cu_log2: int, mode_cu: jnp.ndarray, bsrc=None,
+                      rate_model: str = "ctx"):
     """Intra TU quadtree RD decision (the reference's checkFull-vs-
     checkSplit recursion, TEncSearch::xRecurIntraCodingLumaQT,
     TEncSearch.cpp:1430-1448, searched to max_transform_hierarchy_depth_
@@ -486,9 +530,6 @@ def _tu_tree_decision(plane: jnp.ndarray, geom: Geometry, qp: int,
     assumption this CU size is chosen everywhere).
     """
     lam = rate.lambda_rd(qp)
-    # split overhead: split_transform_flag bin + duplicated chroma cbf
-    # signaling at the split node (~1 ctx bin each).
-    oh = lam * 1.8
     top = min(cu_log2, 5)
     bottom = max(2, cu_log2 - 3)     # MaxTrafoDepth = 3 (CU64 stops at 8)
     b = plane.shape[0]
@@ -499,7 +540,8 @@ def _tu_tree_decision(plane: jnp.ndarray, geom: Geometry, qp: int,
         mode_s = jnp.repeat(jnp.repeat(mode_cu, rep, axis=-2), rep, axis=-1)
         rd_map[s_log2] = _dense_rd_candidates(
             plane, geom, 1 << s_log2, mode_s[..., None], qp, lam,
-            bsrc=bsrc)[..., 0]
+            bsrc=bsrc, rate_model=rate_model,
+            cbf_ctx=1 if s_log2 == top else 0)[..., 0]
 
     def pool4(x):
         b_, r_, c_ = x.shape
@@ -508,6 +550,16 @@ def _tu_tree_decision(plane: jnp.ndarray, geom: Geometry, qp: int,
     t = rd_map[bottom]
     split = {}
     for s_log2 in range(bottom + 1, top + 1):
+        if rate_model == "ctx":
+            # split_transform_flag at ctx 5-log2 (init state) + ~1 bin of
+            # duplicated chroma cbf signaling at the split node.
+            from hevctpu.ops import rate_ctx
+            st0, st1 = rate_ctx.split_tu_bits(qp, s_log2)
+            oh = lam * (st1 - st0 + 1.0)
+        else:
+            # split_transform_flag bin + duplicated chroma cbf (~1 ctx
+            # bin each) — the legacy fitted constant.
+            oh = lam * 1.8
         tsplit = pool4(t) + oh
         split[s_log2] = tsplit < rd_map[s_log2]
         t = jnp.minimum(rd_map[s_log2], tsplit)
@@ -781,9 +833,12 @@ class FrameEncoder:
     def __init__(self, h: int, w: int, qp: int, *, deblock: bool = True,
                  search: str = "cnn", rdoq: bool = True, sao: bool = True,
                  sbh: bool = True, nxn: bool = True, tu_split: bool = True,
-                 ts: bool = True, two_pass: bool = False):
+                 ts: bool = True, two_pass: bool = False,
+                 rate_model: str = "ctx"):
         assert h % 8 == 0 and w % 8 == 0, "HEVC requires dims % minCU == 0"
         assert search in ("cnn", "rd")
+        assert rate_model in ("ctx", "global")
+        self.rate_model = rate_model
         self.two_pass = two_pass
         self.geom = Geometry(h, w)
         self.qp = qp
@@ -980,7 +1035,8 @@ class FrameEncoder:
         by, bu, bv = bsrc if bsrc is not None else (None, None, None)
 
         # Dense RD mode decision per depth (luma, then chroma).
-        modes, costs = _dense_mode_decision(yp, g, self.qp, bsrc=by)
+        modes, costs = _dense_mode_decision(yp, g, self.qp, bsrc=by,
+                                            rate_model=self.rate_model)
 
         # Intra TU quadtree search per CU size (TEncSearch.cpp:1430-1448):
         # replace each CU's full-TU cost with its best-tree cost and keep
@@ -989,7 +1045,8 @@ class FrameEncoder:
         if self.tu_split:
             for n, cu_log2 in ((64, 6), (32, 5), (16, 4), (8, 3)):
                 t_cost, rd_full, tz[n] = _tu_tree_decision(
-                    yp, g, self.qp, cu_log2, modes[n], bsrc=by)
+                    yp, g, self.qp, cu_log2, modes[n], bsrc=by,
+                    rate_model=self.rate_model)
                 costs[n] = costs[n] + (t_cost - rd_full)
 
         # PART_NxN vs PART_2Nx2N at depth 3 (the reference checks both at
@@ -1002,13 +1059,22 @@ class FrameEncoder:
 
         if self.nxn:
             c_nxn = pool2x2(costs[4])                  # [B, hp/8, wp/8]
+            if self.rate_model == "ctx":
+                # part_mode bin at max-depth CUs (TEncSbac codePartSize:
+                # bin 1 = 2Nx2N, 0 = NxN), init-state priced.
+                from hevctpu.ops import rate_ctx
+                pm_nxn, pm_2n = rate_ctx.part_mode_bits(self.qp)
+                lam_pm = rate.lambda_rd(self.qp)
+                c_nxn = c_nxn + lam_pm * pm_nxn
+                costs[8] = costs[8] + lam_pm * pm_2n
             nxn_map = c_nxn < costs[8]
             costs[8] = jnp.minimum(costs[8], c_nxn)
         else:
             nxn_map = jnp.zeros_like(costs[8], bool)
 
         csel, cmodes, ccosts = _dense_chroma_decision(
-            up, vp, g, self.qp, self.qp_c, modes, bsrc_u=bu, bsrc_v=bv)
+            up, vp, g, self.qp, self.qp_c, modes, bsrc_u=bu, bsrc_v=bv,
+            rate_model=self.rate_model)
 
         # Partition: CNN labels (pruned-search gate semantics) or the RD
         # quadtree decision; plus implicit boundary splits either way.
@@ -1017,7 +1083,7 @@ class FrameEncoder:
             # alternative in above, and its chroma cost is ccosts[8]
             # either way (one 4x4 chroma TU per 8x8 luma CU).
             total = {n: costs[n] + ccosts[n] for n in ccosts}
-            labels = _rd_split_labels(total, self.qp)
+            labels = _rd_split_labels(total, self.qp, self.rate_model)
         bh, bw = g.bh_bw
         labels_rc = labels.reshape(b, g.rc, g.cc, 16)
         depth8, coded8 = ctu.derive_slot_depths(

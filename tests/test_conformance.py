@@ -55,3 +55,45 @@ def test_hm_decoder_matches_recon(tmp_path, qp):
     assert (got_y == out["recon_y"][0]).all()
     assert (got_u == out["recon_u"][0]).all()
     assert (got_v == out["recon_v"][0]).all()
+
+
+HM_ENCODER = os.environ.get("HM_ENCODER", "/tmp/hm/bin/TAppEncoderStatic")
+
+
+@pytest.mark.skipif(not os.path.exists(HM_ENCODER),
+                    reason="HM oracle encoder not built")
+@pytest.mark.parametrize("qp", [27, 32])
+def test_our_decoder_decodes_hm_anchor_stream(tmp_path, qp):
+    """The reverse oracle direction: OUR decoder must decode the HM
+    anchor's own All-Intra output (IDR + CRA pictures, RPS-bearing SPS,
+    MD5 hash SEIs — TEncCavlc/TEncGOP header choices) and reproduce HM's
+    reconstruction bit-exactly (VERDICT r4 item 5; TDecCAVLC.cpp /
+    TDecSlice.cpp:71 role)."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "tools"))
+    from measure_anchor import run_hm
+
+    from hevctpu.pipeline.clips import make_clip, write_yuv
+
+    h, w, n = 240, 416, 2
+    y, u, v = make_clip("pink", n, h, w)
+    yuv = tmp_path / "in.yuv"
+    write_yuv(str(yuv), y, u, v)
+    run_hm(HM_ENCODER, str(yuv), w, h, n, qp, str(tmp_path))
+
+    stream = (tmp_path / f"q{qp}.bin").read_bytes()
+    d = streamlib.Decoder()
+    d.decode(stream)
+    assert len(d.frames) == n
+    assert d.hashes_ok == [True] * n      # MD5 SEIs verified
+
+    rec = np.fromfile(tmp_path / f"q{qp}.yuv", np.uint8)
+    fs = h * w * 3 // 2
+    for i, (ry, ru, rv) in enumerate(d.frames):
+        fr = rec[i * fs: (i + 1) * fs]
+        assert np.array_equal(ry, fr[: h * w].reshape(h, w))
+        assert np.array_equal(
+            ru, fr[h * w: h * w * 5 // 4].reshape(h // 2, w // 2))
+        assert np.array_equal(
+            rv, fr[h * w * 5 // 4:].reshape(h // 2, w // 2))

@@ -65,6 +65,24 @@ def hm_points(enc_bin, yuv, w, h, n, qps, workdir, labels=None):
     return pts
 
 
+def parse_mode(mode: str):
+    """Mode spec -> (base, FrameEncoder kwargs). Base "cnn"|"rd" plus
+    dash suffixes: -global (legacy per-bin-type rate model),
+    -2p (two_pass recon-feedback refinement)."""
+    parts = mode.split("-")
+    base = parts[0]
+    assert base in ("cnn", "rd"), mode
+    kw = {"search": base}
+    for s in parts[1:]:
+        if s == "global":
+            kw["rate_model"] = "global"
+        elif s == "2p":
+            kw["two_pass"] = True
+        else:
+            raise ValueError(f"unknown mode suffix {s!r} in {mode!r}")
+    return base, kw
+
+
 def ours_points(y, u, v, qps, mode, params, metrics_mod, *, batch=8):
     """Our encoder sweep. cnn mode uses the fused one-jit program
     (CNN inference + encode), the same operating point bench.py times."""
@@ -74,15 +92,16 @@ def ours_points(y, u, v, qps, mode, params, metrics_mod, *, batch=8):
 
     h, w = y.shape[-2:]
     n = y.shape[0]
+    base, enc_kw = parse_mode(mode)
     pts = []
     for qp in qps:
-        enc = FrameEncoder(h, w, qp, search="rd" if mode == "rd" else "cnn")
+        enc = FrameEncoder(h, w, qp, **enc_kw)
         cfg = headers.StreamConfig(width=w, height=h, qp=qp)
         t0 = time.time()
         outs = []
         for i in range(0, n, batch):
             j = min(i + batch, n)
-            if mode == "cnn":
+            if base == "cnn":
                 outs.append(enc.encode_fused(params, y[i:j], u[i:j], v[i:j]))
             else:
                 outs.append(enc.encode(y[i:j], u[i:j], v[i:j]))
@@ -201,7 +220,8 @@ def main():
 
         for mode in modes:
             pts = ours_points(y, u, v, qps, mode,
-                              our_params if mode == "cnn" else None, metrics)
+                              our_params if mode.startswith("cnn") else None,
+                              metrics)
             cdoc[f"ours_{mode}"] = pts
             bdr, bdp = bd(metrics, entry["anchor"], pts)
             cdoc[f"bd_rate_pct_{mode}"] = bdr
