@@ -50,18 +50,60 @@ def _ent_table() -> np.ndarray:
                     axis=-1).astype(np.float32)
 
 
+# CABAC probability range: the state line's most-skewed LPS probability.
+# The real engine can never price a bin outside [-log2(1-pmin), -log2(pmin)].
+_P_MIN = 0.5 * ((0.01875 / 0.5) ** (63.0 / 63.0))   # p_lps at state 63
+
+# Dirichlet prior weight on the init-state probability when blending the
+# calibrated corpus counts (ops/ctx_probs.py) — small counts fall back to
+# the init state, large counts dominate.
+_PRIOR_K = 32.0
+
+
 @functools.lru_cache(maxsize=None)
-def ctx_cost(name: str, qp: int) -> np.ndarray:
-    """[n_ctx, 2] float32: bits of coding bin b in context (name, idx) at
-    its I-slice init state for qp."""
+def _init_probs(name: str, qp: int) -> np.ndarray:
+    """[n_ctx] P(bin=1) at the I-slice init state for qp."""
     row = rom.CTX_INIT[name][0]
-    ent = _ent_table()
-    out = np.zeros((len(row), 2), np.float32)
+    alpha = (0.01875 / 0.5) ** (1.0 / 63.0)
+    out = np.zeros(len(row), np.float64)
     for i, iv in enumerate(row):
         state, mps = rom.cabac_init_state(iv, qp)
-        out[i, mps] = ent[state, 0]
-        out[i, 1 - mps] = ent[state, 1]
+        p_lps = 0.5 * alpha ** state
+        out[i] = (1.0 - p_lps) if mps == 1 else p_lps
     return out
+
+
+@functools.lru_cache(maxsize=None)
+def ctx_cost(name: str, qp: int, calibrated: bool = True) -> np.ndarray:
+    """[n_ctx, 2] float32: bits of coding bin b in context (name, idx).
+
+    Pricing follows the reference's counting-CABAC discipline with the
+    states taken at their content steady-state rather than slice start:
+    P(bin|ctx) is the calibrated corpus frequency (ops/ctx_probs.py,
+    tools/fit_ctx_probs.py) blended with the init-state probability as a
+    prior, clipped to the CABAC state line's reachable range. Without a
+    calibration entry the cost degrades to the exact init-state price."""
+    p1 = _init_probs(name, qp).copy()
+    if not calibrated:
+        p1 = np.clip(p1, _P_MIN, 1.0 - _P_MIN)
+        return np.stack([-np.log2(1.0 - p1), -np.log2(p1)],
+                        axis=-1).astype(np.float32)
+    try:
+        from hevctpu.ops.ctx_probs import COUNTS
+    except ImportError:
+        COUNTS = {}
+    qps = sorted(COUNTS) if COUNTS else []
+    if qps:
+        near = min(qps, key=lambda q: abs(q - qp))
+        d = COUNTS[near].get(name, {})
+        for i in range(len(p1)):
+            c0, c1 = d.get(i, (0, 0))
+            n = c0 + c1
+            if n:
+                p1[i] = (c1 + _PRIOR_K * p1[i]) / (n + _PRIOR_K)
+    p1 = np.clip(p1, _P_MIN, 1.0 - _P_MIN)
+    return np.stack([-np.log2(1.0 - p1), -np.log2(p1)],
+                    axis=-1).astype(np.float32)
 
 
 def _last_prefix(val: int) -> int:
@@ -72,12 +114,13 @@ def _last_prefix(val: int) -> int:
 
 
 @functools.lru_cache(maxsize=None)
-def _last_cost(log2: int, is_luma: bool, qp: int) -> np.ndarray:
+def _last_cost(log2: int, is_luma: bool, qp: int,
+               calibrated: bool = True) -> np.ndarray:
     """[n] float32: exact bits of coding one last-position coordinate
     value (ctx prefix per 9.3.4.2.3 + bypass suffix), at init states."""
     n = 1 << log2
     name = "last_sig_x_luma" if is_luma else "last_sig_x_chroma"
-    cost = ctx_cost(name, qp)
+    cost = ctx_cost(name, qp, calibrated)
     if is_luma:
         offset = 3 * (log2 - 2) + ((log2 - 1) >> 2)
         shift = (log2 + 1) >> 2
@@ -130,7 +173,8 @@ class _Tables:
 
 
 @functools.lru_cache(maxsize=None)
-def _tables(log2: int, scan_idx: int, is_luma: bool, qp: int) -> _Tables:
+def _tables(log2: int, scan_idx: int, is_luma: bool, qp: int,
+            calibrated: bool = True) -> _Tables:
     n = 1 << log2
     n2 = n * n
     m = max(n2 // 16, 1)
@@ -159,12 +203,13 @@ def _tables(log2: int, scan_idx: int, is_luma: bool, qp: int) -> _Tables:
     t.right_nb, t.below_nb = right, below
 
     c = "luma" if is_luma else "chroma"
-    t.last_cost = _last_cost(log2, is_luma, qp)
-    t.sig_cost = ctx_cost(f"sig_coeff_{c}", qp)
-    t.csbf_cost = ctx_cost(f"coded_sub_block_{c}", qp)
-    t.g1_cost = ctx_cost(f"coeff_abs_gt1_{c}", qp)
-    t.g2_cost = ctx_cost(f"coeff_abs_gt2_{c}", qp)
-    t.cbf_cost = ctx_cost("cbf_luma" if is_luma else "cbf_chroma", qp)
+    t.last_cost = _last_cost(log2, is_luma, qp, calibrated)
+    t.sig_cost = ctx_cost(f"sig_coeff_{c}", qp, calibrated)
+    t.csbf_cost = ctx_cost(f"coded_sub_block_{c}", qp, calibrated)
+    t.g1_cost = ctx_cost(f"coeff_abs_gt1_{c}", qp, calibrated)
+    t.g2_cost = ctx_cost(f"coeff_abs_gt2_{c}", qp, calibrated)
+    t.cbf_cost = ctx_cost("cbf_luma" if is_luma else "cbf_chroma", qp,
+                          calibrated)
     return t
 
 
@@ -227,7 +272,8 @@ def estimate_tu_bits_ctx(levels: jnp.ndarray, log2: int, qp: int, *,
                          is_luma: bool = True,
                          scan_idx: int = rom.SCAN_DIAG,
                          sbh: bool = True, cbf_ctx: int = 0,
-                         include_cbf: bool = True) -> jnp.ndarray:
+                         include_cbf: bool = True,
+                         calibrated: bool = True) -> jnp.ndarray:
     """Bits of residual_coding(levels) [..., N, N] -> [...] float32 in
     1/BITS_ONE units: the exact 7.3.8.11 bin stream priced at I-slice
     init context states (see module docstring). A zero TU costs the
@@ -235,7 +281,7 @@ def estimate_tu_bits_ctx(levels: jnp.ndarray, log2: int, qp: int, *,
     n = 1 << log2
     n2 = n * n
     m = max(n2 // 16, 1)
-    t = _tables(log2, scan_idx, is_luma, qp)
+    t = _tables(log2, scan_idx, is_luma, qp, calibrated)
     lead = levels.shape[:-2]
     s = levels.reshape(*lead, n2)[..., jnp.asarray(t.perm)]
     a = jnp.abs(s).astype(jnp.int32)

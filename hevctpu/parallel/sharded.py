@@ -54,10 +54,19 @@ class ShardedEncoder:
 
     def __init__(self, h: int, w: int, qp: int, mesh: Mesh,
                  cnn_params: dict | None = None,
-                 fixed_depth: int | None = None):
+                 fixed_depth: int | None = None,
+                 halo_exchange: bool = True):
         assert (cnn_params is None) != (fixed_depth is None), (
             "pass exactly one of cnn_params / fixed_depth")
         self.enc = FrameEncoder(h, w, qp)
+        if halo_exchange and mesh.shape["tile"] > 1:
+            # Explicit SPMD stage 2: per-tile wavefront tables + ppermute
+            # halo exchange of the left-edge/above-right recon strips
+            # (~KB per diagonal), replacing the full-width all-gathers
+            # GSPMD inserts for the wavefront's traced gathers.
+            assert self.enc.geom.cc % mesh.shape["tile"] == 0, (
+                "CTU columns must divide the tile axis")
+            self.enc.shard_cfg = (mesh, "frame", "tile")
         self.mesh = mesh
         self.cnn_params = cnn_params
         self.fixed_depth = fixed_depth

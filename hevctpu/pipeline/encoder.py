@@ -94,6 +94,33 @@ class Geometry:
         bw = np.clip(self.w - 64 * np.arange(self.cc), 0, 64).astype(np.int32)
         return bh, bw
 
+    @functools.lru_cache(maxsize=None)
+    def wavefront_tiled(self, tiles: int):
+        """Per-tile wavefront tables [T, D, A]: each tile owns cc/tiles
+        contiguous CTU columns; a diagonal's active set is restricted to
+        the tile's own columns (act_c stays GLOBAL for coordinate math;
+        subtract the tile's base for local indexing). A is the max
+        per-tile per-diagonal occupancy — the tile axis divides stage-2
+        step width by ~T, which is where its speedup comes from."""
+        rc, cc = self.rc, self.cc
+        assert cc % tiles == 0, (cc, tiles)
+        cl = cc // tiles
+        d_tot = 2 * (rc - 1) + cc
+        sets = [[[(r, c) for r in range(rc) for c in range(cc)
+                  if 2 * r + c == d and t * cl <= c < (t + 1) * cl]
+                 for d in range(d_tot)] for t in range(tiles)]
+        a = max(len(cells) for per_t in sets for cells in per_t)
+        a = max(a, 1)
+        act_r = np.zeros((tiles, d_tot, a), dtype=np.int32)
+        act_c = np.zeros((tiles, d_tot, a), dtype=np.int32)
+        act_m = np.zeros((tiles, d_tot, a), dtype=bool)
+        for t in range(tiles):
+            for d, cells in enumerate(sets[t]):
+                for j, (r, c) in enumerate(cells):
+                    act_r[t, d, j], act_c[t, d, j] = r, c
+                    act_m[t, d, j] = True
+        return act_r, act_c, act_m
+
 
 def pad_plane(p: jnp.ndarray, hp: int, wp: int) -> jnp.ndarray:
     """Edge-replicate pad [..., H, W] -> [..., hp, wp] (HM pads the source
@@ -839,6 +866,10 @@ class FrameEncoder:
         assert search in ("cnn", "rd")
         assert rate_model in ("ctx", "global")
         self.rate_model = rate_model
+        # Set by ShardedEncoder: (mesh, frame_axis, tile_axis). When set,
+        # the reconstruct stage runs under shard_map with explicit
+        # per-tile wavefront tables + ppermute halo exchange.
+        self.shard_cfg = None
         self.two_pass = two_pass
         self.geom = Geometry(h, w)
         self.qp = qp
@@ -985,6 +1016,27 @@ class FrameEncoder:
         up = pad_plane(u, g.hp // 2, g.wp // 2)
         vp = pad_plane(v, g.hp // 2, g.wp // 2)
 
+        rec_fn = self._reconstruct
+        if self.shard_cfg is not None:
+            from jax.experimental.shard_map import shard_map
+            from jax.sharding import PartitionSpec as _P
+
+            mesh, f_ax, t_ax = self.shard_cfg
+            tiles = mesh.shape[t_ax]
+            ps = _P(f_ax, None, t_ax)
+            pb = _P(f_ax, None, t_ax, None, None)
+            out_keys = ["recon_y", "recon_u", "recon_v", "levels_y",
+                        "levels_u", "levels_v", "cbf_y", "cbf_u", "cbf_v",
+                        "cbf4_y", "ts4_y", "ts8_u", "ts8_v"]
+            rec_fn = shard_map(
+                lambda a1, a2, a3, a4, a5, a6, a7, a8: self._reconstruct(
+                    a1, a2, a3, a4, a5, a6, a7, a8,
+                    shard=(t_ax, tiles)),
+                mesh=mesh,
+                in_specs=(ps, ps, ps, pb, pb, pb, pb, pb),
+                out_specs={k: ps for k in out_keys},
+                check_rep=False)
+
         dec = self._decide(yp, up, vp, labels)
         if self.two_pass:
             # Recon-feedback refinement (HM decides against reconstructed
@@ -993,7 +1045,7 @@ class FrameEncoder:
             # neighbor boundaries read from the pass-1 pre-filter recon —
             # the references the decoder will approximately see — then
             # reconstruct with the refined decisions.
-            out1 = self._reconstruct(
+            out1 = rec_fn(
                 yp, up, vp, dec["mode_slot"], dec["cmode_slot"],
                 to_blocked(dec["tusz_frame"], 8), dec["coded8"],
                 to_blocked(dec["mode4_frame"], 16))
@@ -1005,11 +1057,11 @@ class FrameEncoder:
             dec = self._decide(yp, up, vp, labels, bsrc=(ry, ru, rv))
 
         # Stage 2: wavefront reconstruction.
-        out = self._reconstruct(yp, up, vp, dec["mode_slot"],
-                                dec["cmode_slot"],
-                                to_blocked(dec["tusz_frame"], 8),
-                                dec["coded8"],
-                                to_blocked(dec["mode4_frame"], 16))
+        out = rec_fn(yp, up, vp, dec["mode_slot"],
+                     dec["cmode_slot"],
+                     to_blocked(dec["tusz_frame"], 8),
+                     dec["coded8"],
+                     to_blocked(dec["mode4_frame"], 16))
         out["depth8"] = from_blocked(dec["depth8"])
         out["coded8"] = from_blocked(dec["coded8"])
         out["mode8"] = dec["mode8_frame"]
@@ -1174,10 +1226,11 @@ class FrameEncoder:
             out["sao_type"], out["sao_eo"] = st, se
             out["sao_bp"], out["sao_off"] = sbp, soff
             out["sao_merge"] = smrg
-        if self.deblock or self.sao:
-            out["recon_y"] = fy[:, : g.h, : g.w]
-            out["recon_u"] = fu[:, : g.h // 2, : g.w // 2]
-            out["recon_v"] = fv[:, : g.h // 2, : g.w // 2]
+        # crop to the conformance window (the reconstruct stage returns
+        # full padded geometry so its sharded variant concatenates evenly)
+        out["recon_y"] = fy[:, : g.h, : g.w]
+        out["recon_u"] = fu[:, : g.h // 2, : g.w // 2]
+        out["recon_v"] = fv[:, : g.h // 2, : g.w // 2]
         # Device-side picture digests + distortion: the checksum hash type
         # of the decoded-picture-hash SEI (TComPicYuvMD5.cpp:141-166) is a
         # parallel reduction, so the conforming hash SEI can be emitted
@@ -1213,11 +1266,33 @@ class FrameEncoder:
                 for k, v in out.items()}
 
     def _reconstruct(self, yp, up, vp, mode_slot, cmode_slot, tusz_slot,
-                     coded8, mode4_blk):
+                     coded8, mode4_blk, shard: tuple | None = None):
+        """Wavefront reconstruction. shard=(axis_name, tiles) runs the
+        SPMD per-tile variant (called under shard_map over CTU-column
+        tiles): each instance scans its own tile's wavefront table and
+        the cross-tile recon dependencies — the left CTU's right edge
+        and the above-right CTU's bottom row (TComPattern.cpp:326-457)
+        — arrive via jax.lax.ppermute halo exchanges of ~KB-scale strips
+        per diagonal instead of GSPMD all-gathers of the full frame."""
         g = self.geom
         b = yp.shape[0]
-        act_r, act_c, act_m = g.wavefront
-        a = act_r.shape[1]
+        if shard is not None:
+            axis_name, tiles = shard
+            cl = g.cc // tiles
+            ti = jax.lax.axis_index(axis_name)
+            tr, tc, tm = g.wavefront_tiled(tiles)
+            act_r = jnp.asarray(tr)[ti]
+            act_c = jnp.asarray(tc)[ti]
+            act_m = jnp.asarray(tm)[ti]
+            cb = ti * cl
+            perm_r = [(i, i + 1) for i in range(tiles - 1)]
+            perm_l = [(i, i - 1) for i in range(1, tiles)]
+            a = tr.shape[2]
+        else:
+            cl = g.cc
+            cb = 0
+            act_r, act_c, act_m = g.wavefront
+            a = act_r.shape[1]
         ba = b * a
 
         oy_b = to_blocked(yp, 64)                      # [B, rc, cc, 64, 64]
@@ -1240,32 +1315,52 @@ class FrameEncoder:
 
         def diagonal_body(carry, xs):
             (ry, ru, rv, lvy, lvu, lvv, cby, cbu, cbv, cb4,
-             t4b, tub, tvb) = carry
+             t4b, tub, tvb, halos) = carry
             dr, dc, dm = xs
             bi = jnp.broadcast_to(jnp.arange(b)[:, None], (b, a))
             ri = jnp.broadcast_to(dr[None, :], (b, a))
-            ci = jnp.broadcast_to(dc[None, :], (b, a))
+            ci = jnp.broadcast_to(dc[None, :], (b, a))   # GLOBAL column
+            cil = ci - cb                                # local (tile) column
             mk = jnp.broadcast_to(dm[None, :], (b, a))
 
             def gath(blocked):
-                return blocked[bi, ri, ci].reshape(ba, *blocked.shape[3:])
+                return blocked[bi, ri, cil].reshape(ba, *blocked.shape[3:])
 
             # neighbor strips (clamped indices; masked by availability)
             rim = jnp.maximum(ri - 1, 0)
-            cim = jnp.maximum(ci - 1, 0)
-            cip = jnp.minimum(ci + 1, g.cc - 1)
+            cim = jnp.maximum(cil - 1, 0)
+            cip = jnp.minimum(cil + 1, cl - 1)
 
-            def strips(rp, span):
+            def strips(rp, span, hl=None, hb=None):
                 corner = rp[bi, rim, cim, span - 1, span - 1][..., None]
-                above = rp[bi, rim, ci, span - 1, :]
+                above = rp[bi, rim, cil, span - 1, :]
                 above_r = rp[bi, rim, cip, span - 1, :]
-                top = jnp.concatenate([corner, above, above_r], axis=-1)
                 left = rp[bi, ri, cim, :, span - 1]
+                if hl is not None:
+                    # tile-boundary halos: the left neighbor CTU lives on
+                    # the previous device (hl = its right-edge columns,
+                    # one per CTU row), the above-right CTU of the last
+                    # local column lives on the next (hb = its first
+                    # column's bottom rows). Values at true picture edges
+                    # are dead (availability masks them off).
+                    at_l = (cil == 0)[..., None]
+                    left = jnp.where(at_l, hl[bi, ri], left)
+                    corner = jnp.where(at_l, hl[bi, rim][..., span - 1:],
+                                       corner)
+                    at_r = (cil == cl - 1)[..., None]
+                    above_r = jnp.where(at_r, hb[bi, rim], above_r)
+                top = jnp.concatenate([corner, above, above_r], axis=-1)
                 return top.reshape(ba, 2 * span + 1), left.reshape(ba, span)
 
-            top_y, left_y = strips(ry, 64)
-            top_u, left_u = strips(ru, 32)
-            top_v, left_v = strips(rv, 32)
+            if shard is not None:
+                hly, hlu, hlv, hby, hbu, hbv = halos
+                top_y, left_y = strips(ry, 64, hly, hby)
+                top_u, left_u = strips(ru, 32, hlu, hbu)
+                top_v, left_v = strips(rv, 32, hlv, hbv)
+            else:
+                top_y, left_y = strips(ry, 64)
+                top_u, left_u = strips(ru, 32)
+                top_v, left_v = strips(rv, 32)
 
             tz = gath(tusz_slot)                       # [BA, 8, 8] leaf log2
             c8 = gath(coded8)
@@ -1421,7 +1516,7 @@ class FrameEncoder:
             ris = jnp.where(mk, ri, g.rc)
 
             def scat(blocked, val, shp):
-                return blocked.at[bi, ris, ci].set(
+                return blocked.at[bi, ris, cil].set(
                     val.reshape(b, a, *shp), mode="drop")
 
             ry = scat(ry, ly, (64, 64))
@@ -1437,33 +1532,58 @@ class FrameEncoder:
             t4b = scat(t4b, ty4, (16, 16))
             tub = scat(tub, tu8_, (8, 8))
             tvb = scat(tvb, tv8_, (8, 8))
+            if shard is not None:
+                # Halo exchange for the next diagonal: ship the tile-edge
+                # strips (right-edge columns rightward; first-column
+                # bottom rows leftward), ~KB per diagonal per component.
+                def xch(rp, span):
+                    nl = jax.lax.ppermute(rp[:, :, cl - 1, :, span - 1],
+                                          axis_name, perm_r)
+                    nb = jax.lax.ppermute(rp[:, :, 0, span - 1, :],
+                                          axis_name, perm_l)
+                    return nl, nb
+                nly, nby = xch(ry, 64)
+                nlu, nbu = xch(ru, 32)
+                nlv, nbv = xch(rv, 32)
+                halos = (nly, nlu, nlv, nby, nbu, nbv)
             return (ry, ru, rv, lvy, lvu, lvv, cby, cbu, cbv, cb4,
-                    t4b, tub, tvb), None
+                    t4b, tub, tvb, halos), None
 
+        if shard is not None:
+            halos0 = (jnp.zeros((b, g.rc, 64), jnp.int32),
+                      jnp.zeros((b, g.rc, 32), jnp.int32),
+                      jnp.zeros((b, g.rc, 32), jnp.int32),
+                      jnp.zeros((b, g.rc, 64), jnp.int32),
+                      jnp.zeros((b, g.rc, 32), jnp.int32),
+                      jnp.zeros((b, g.rc, 32), jnp.int32))
+        else:
+            halos0 = ()
         init = (
-            jnp.zeros((b, g.rc, g.cc, 64, 64), jnp.int32),
-            jnp.zeros((b, g.rc, g.cc, 32, 32), jnp.int32),
-            jnp.zeros((b, g.rc, g.cc, 32, 32), jnp.int32),
-            jnp.zeros((b, g.rc, g.cc, 64, 64), jnp.int32),
-            jnp.zeros((b, g.rc, g.cc, 32, 32), jnp.int32),
-            jnp.zeros((b, g.rc, g.cc, 32, 32), jnp.int32),
-            jnp.zeros((b, g.rc, g.cc, 8, 8), bool),
-            jnp.zeros((b, g.rc, g.cc, 8, 8), bool),
-            jnp.zeros((b, g.rc, g.cc, 8, 8), bool),
-            jnp.zeros((b, g.rc, g.cc, 16, 16), bool),
-            jnp.zeros((b, g.rc, g.cc, 16, 16), bool),
-            jnp.zeros((b, g.rc, g.cc, 8, 8), bool),
-            jnp.zeros((b, g.rc, g.cc, 8, 8), bool),
+            jnp.zeros((b, g.rc, cl, 64, 64), jnp.int32),
+            jnp.zeros((b, g.rc, cl, 32, 32), jnp.int32),
+            jnp.zeros((b, g.rc, cl, 32, 32), jnp.int32),
+            jnp.zeros((b, g.rc, cl, 64, 64), jnp.int32),
+            jnp.zeros((b, g.rc, cl, 32, 32), jnp.int32),
+            jnp.zeros((b, g.rc, cl, 32, 32), jnp.int32),
+            jnp.zeros((b, g.rc, cl, 8, 8), bool),
+            jnp.zeros((b, g.rc, cl, 8, 8), bool),
+            jnp.zeros((b, g.rc, cl, 8, 8), bool),
+            jnp.zeros((b, g.rc, cl, 16, 16), bool),
+            jnp.zeros((b, g.rc, cl, 16, 16), bool),
+            jnp.zeros((b, g.rc, cl, 8, 8), bool),
+            jnp.zeros((b, g.rc, cl, 8, 8), bool),
+            halos0,
         )
         xs = (jnp.asarray(act_r), jnp.asarray(act_c), jnp.asarray(act_m))
         (ry, ru, rv, lvy, lvu, lvv, cby, cbu, cbv, cb4,
-         t4b, tub, tvb), _ = jax.lax.scan(diagonal_body, init, xs)
+         t4b, tub, tvb, _h), _ = jax.lax.scan(diagonal_body, init, xs)
 
         g_ = self.geom
+        cw = cl * 64          # local frame width (global when unsharded)
         return {
-            "recon_y": from_blocked(ry)[:, : g_.h, : g_.w],
-            "recon_u": from_blocked(ru)[:, : g_.h // 2, : g_.w // 2],
-            "recon_v": from_blocked(rv)[:, : g_.h // 2, : g_.w // 2],
+            "recon_y": from_blocked(ry)[:, : g_.hp, : cw],
+            "recon_u": from_blocked(ru)[:, : g_.hp // 2, : cw // 2],
+            "recon_v": from_blocked(rv)[:, : g_.hp // 2, : cw // 2],
             "levels_y": from_blocked(lvy),
             "levels_u": from_blocked(lvu),
             "levels_v": from_blocked(lvv),

@@ -78,7 +78,8 @@ def test_matches_frozen_golden(log2, comp, qp):
         _rand_tus(rng, n, 8, density=0.03, mag=300),
     ])
     got = np.asarray(estimate_tu_bits_ctx(
-        tus, log2, qp, is_luma=(comp == 0), include_cbf=False)) \
+        tus, log2, qp, is_luma=(comp == 0), include_cbf=False,
+        calibrated=False)) \
         / rate.BITS_ONE
     for i in range(tus.shape[0]):
         want = _golden_bits(tus[i], qp, comp)
@@ -97,7 +98,7 @@ def test_matches_frozen_golden_mode_scans(scan_idx):
         tus = _rand_tus(rng, n, 24, density=0.3, mag=10)
         got = np.asarray(estimate_tu_bits_ctx(
             tus, log2, qp, is_luma=True, scan_idx=scan_idx,
-            include_cbf=False)) / rate.BITS_ONE
+            include_cbf=False, calibrated=False)) / rate.BITS_ONE
         for i in range(tus.shape[0]):
             want = _golden_bits(tus[i], qp, 0, mode=mode)
             assert abs(got[i] - want) < 0.02 + 1e-3 * want
@@ -105,14 +106,17 @@ def test_matches_frozen_golden_mode_scans(scan_idx):
 
 def test_zero_tu_and_sbh_off():
     z = np.zeros((1, 8, 8), np.int32)
-    got = np.asarray(estimate_tu_bits_ctx(z, 3, 32, include_cbf=False))
+    got = np.asarray(estimate_tu_bits_ctx(z, 3, 32, include_cbf=False,
+                                         calibrated=False))
     assert got[0] == 0.0
     rng = np.random.default_rng(0)
     tus = _rand_tus(rng, 8, 16, density=0.6, mag=4)
     on = np.asarray(estimate_tu_bits_ctx(tus, 3, 32, sbh=True,
-                                         include_cbf=False))
+                                         include_cbf=False,
+                                         calibrated=False))
     off = np.asarray(estimate_tu_bits_ctx(tus, 3, 32, sbh=False,
-                                          include_cbf=False))
+                                          include_cbf=False,
+                                          calibrated=False))
     for i in range(tus.shape[0]):
         want = _golden_bits(tus[i], 32, 0, sbh=False)
         assert abs(off[i] / rate.BITS_ONE - want) < 0.02 + 1e-3 * want
@@ -131,7 +135,7 @@ def test_tracks_adapting_counter_better_than_global_weights():
     ], axis=0) if False else _rand_tus(rng, 8, 60, density=0.25, mag=8)
     want = np.array([_golden_bits(t, qp, 0, frozen=False) for t in tus])
     got_ctx = np.asarray(estimate_tu_bits_ctx(
-        tus, 3, qp, include_cbf=False)) / rate.BITS_ONE
+        tus, 3, qp, include_cbf=False, calibrated=False)) / rate.BITS_ONE
     got_old = np.asarray(rate.estimate_tu_bits(tus, 3, qp)) / rate.BITS_ONE
     err_ctx = np.abs(got_ctx - want) / np.maximum(want, 1.0)
     err_old = np.abs(got_old - want) / np.maximum(want, 1.0)

@@ -80,3 +80,43 @@ def test_sharded_cnn_labels_match():
     for k in ("recon_y", "levels_y", "depth8", "mode4"):
         np.testing.assert_array_equal(
             out_s[k], out_1[k], err_msg=f"sharded/single mismatch in {k}")
+
+
+def test_make_mesh_shapes():
+    """Fast tier: mesh factorization invariants (no device compile)."""
+    import jax
+
+    from hevctpu.parallel import make_mesh
+
+    devs = jax.devices()
+    if len(devs) >= 2:
+        m = make_mesh(devs[:2])
+        assert m.shape["frame"] * m.shape["tile"] == 2
+    m1 = make_mesh(devs[:1])
+    assert m1.shape == {"frame": 1, "tile": 1}
+
+
+def test_wavefront_tiled_tables():
+    """Fast tier: the per-tile wavefront tables partition the global
+    wavefront exactly — same cells, tile-local column ranges, and the
+    per-tile occupancy bound that gives the tile axis its speedup."""
+    from hevctpu.pipeline.encoder import Geometry
+
+    g = Geometry(4 * 64, 8 * 64)
+    gr, gc, gm = g.wavefront
+    for tiles in (1, 2, 4):
+        tr, tc, tm = g.wavefront_tiled(tiles)
+        assert tr.shape[0] == tiles and tr.shape[1] == gr.shape[0]
+        cl = g.cc // tiles
+        cells_g = {(d, r, c) for d in range(gr.shape[0])
+                   for r, c, m in zip(gr[d], gc[d], gm[d]) if m}
+        cells_t = set()
+        for t in range(tiles):
+            for d in range(tr.shape[0+1] if False else tr.shape[1]):
+                for r, c, m in zip(tr[t, d], tc[t, d], tm[t, d]):
+                    if m:
+                        assert t * cl <= c < (t + 1) * cl
+                        cells_t.add((d, int(r), int(c)))
+        assert cells_t == cells_g
+    # occupancy shrinks with the tile count
+    assert g.wavefront_tiled(4)[0].shape[2] <= g.wavefront[0].shape[1]
