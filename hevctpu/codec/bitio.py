@@ -58,12 +58,24 @@ class BitWriter:
         return bytes(self._bytes)
 
 
+class ReadOverrun(IndexError):
+    """Bit reader ran past the end of the payload (truncated NAL unit).
+
+    A subclass of IndexError so legacy callers that caught IndexError keep
+    working, but typed so the decoder can distinguish a short bitstream
+    from an internal indexing bug during reconstruction."""
+
+
 class BitReader:
     def __init__(self, data: bytes):
         self._d = data
         self._pos = 0  # bit position
 
     def u(self, bits: int) -> int:
+        if self._pos + bits > len(self._d) * 8:
+            raise ReadOverrun(
+                f"read of {bits} bits at bit {self._pos} overruns "
+                f"{len(self._d)}-byte payload")
         v = 0
         for _ in range(bits):
             byte = self._d[self._pos >> 3]

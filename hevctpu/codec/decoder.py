@@ -69,9 +69,12 @@ class Decoder:
                         f"unsupported NAL unit type {nal_type}")
         except headers.DecodeError:
             raise
-        except IndexError:
+        except bitio.ReadOverrun as e:
+            # Only the typed bounds failure from BitReader maps to
+            # "truncated" — a bare IndexError elsewhere in reconstruction
+            # is an internal bug and must surface as itself.
             raise headers.DecodeError(
-                "truncated NAL unit (bit reader ran past the payload)")
+                f"truncated NAL unit ({e})") from e
         return self.frames
 
     def _decode_slice(self, rbsp: bytes, nal_type: int):
@@ -132,26 +135,32 @@ def encode_frame_nals(cfg: headers.StreamConfig, fr: dict,
 
     if use_native is None:
         use_native = native.available()
-    assert cfg.sao == ("sao_type" in fr), \
-        "cfg.sao must match the encoder's sao setting"
-    if "sbh" in fr:
-        assert cfg.sign_data_hiding == bool(fr["sbh"]), \
-            "cfg.sign_data_hiding must match the encoder's sbh setting" \
-            " (hidden signs would decode silently wrong)"
+    # Config/frame consistency guards raise ValueError (not assert): a
+    # mismatch here produces a stream that decodes silently wrong, so the
+    # check must survive `python -O`.
+    if cfg.sao != ("sao_type" in fr):
+        raise ValueError("cfg.sao must match the encoder's sao setting")
+    if "sbh" in fr and cfg.sign_data_hiding != bool(fr["sbh"]):
+        raise ValueError(
+            "cfg.sign_data_hiding must match the encoder's sbh setting "
+            "(hidden signs would decode silently wrong)")
     if cfg.max_tu_depth_intra > 0 and "tusz8" not in fr:
-        assert False, ("cfg.max_tu_depth_intra > 0 but the frame has no "
-                       "TU-split map (encode with tu_split=True or use a "
-                       "max_tu_depth_intra=0 StreamConfig)")
-    assert cfg.max_tu_depth_intra > 0 or "tusz8" not in fr, \
-        ("frame carries a TU-split map but cfg.max_tu_depth_intra == 0 — "
-         "no split flags would be coded and the reconstruction would not "
-         "match the hash SEI")
+        raise ValueError(
+            "cfg.max_tu_depth_intra > 0 but the frame has no TU-split map "
+            "(encode with tu_split=True or use a max_tu_depth_intra=0 "
+            "StreamConfig)")
+    if cfg.max_tu_depth_intra == 0 and "tusz8" in fr:
+        raise ValueError(
+            "frame carries a TU-split map but cfg.max_tu_depth_intra == 0 "
+            "— no split flags would be coded and the reconstruction would "
+            "not match the hash SEI")
     # (a ts-less frame under a transform_skip cfg is fine — all flags code
     # as 0 — but TS decisions require the PPS flag to be signaled)
-    assert cfg.transform_skip or "ts4_y" not in fr, \
-        ("frame carries transform-skip decisions but cfg.transform_skip "
-         "is off — the flags would not be coded and the levels would "
-         "dequantize through the wrong inverse")
+    if not cfg.transform_skip and "ts4_y" in fr:
+        raise ValueError(
+            "frame carries transform-skip decisions but cfg.transform_skip "
+            "is off — the flags would not be coded and the levels would "
+            "dequantize through the wrong inverse")
     # rate control / adaptive QP: a batch may carry its own slice QP.
     fcfg = cfg
     if "qp" in fr and int(fr["qp"]) != cfg.qp:

@@ -17,10 +17,19 @@ from __future__ import annotations
 
 import functools
 
+import os
+
 import jax.numpy as jnp
 import numpy as np
 
 from hevctpu import rom
+
+# RDOQ last-position pass kill switch, read ONCE at import (the flag is
+# baked into every traced program; flipping the env var after the first
+# compile would otherwise be silently ignored — pass rdoq_lastpos=False
+# explicitly for per-encoder control).
+RDOQ_LASTPOS_DEFAULT = os.environ.get(
+    "HEVCTPU_RDOQ_LASTPOS", "1") not in ("0", "false")
 
 
 def transform_shift(log2_size: int, bit_depth: int = 8) -> int:
@@ -67,8 +76,8 @@ def _last_bits_scan(log2_size: int, w_last: int) -> np.ndarray:
 
 
 def quantize_rdoq(coef: jnp.ndarray, log2_size: int, qp: int, lam: float, *,
-                  bit_depth: int = 8, scan: jnp.ndarray | None = None
-                  ) -> jnp.ndarray:
+                  bit_depth: int = 8, scan: jnp.ndarray | None = None,
+                  lastpos: bool | None = None) -> jnp.ndarray:
     """RD-optimized quantization of [..., N, N] coefficients -> levels.
 
     Per coefficient, choose l ∈ {round(c/q), round(c/q)-1, 0} minimizing
@@ -140,8 +149,9 @@ def quantize_rdoq(coef: jnp.ndarray, log2_size: int, qp: int, lam: float, *,
     # (H.265 7.4.9.11), where the three variants are evaluated and the
     # right one selected — cheaper inside the wavefront than a per-TU
     # traced gather.
-    import os
-    if os.environ.get("HEVCTPU_RDOQ_LASTPOS", "1") in ("0", "false"):
+    if lastpos is None:
+        lastpos = RDOQ_LASTPOS_DEFAULT
+    if not lastpos:
         hdq = jnp.abs(quantize(coef, log2_size, qp, bit_depth=bit_depth))
 
         def full_j0(lv):

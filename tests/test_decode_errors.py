@@ -43,8 +43,9 @@ def test_corrupt_slice_payload_rejected_or_hash_fails(stream):
 
 
 def test_unsupported_nal_type_rejected(stream):
-    # append a CRA_NUT (type 21) NAL the decoder does not support
-    extra = bitio.nal_unit(21, b"\x80")
+    # append a TRAIL_R (type 1, inter slice) NAL the all-intra
+    # verification decoder does not support (CRA/IDR variants now decode)
+    extra = bitio.nal_unit(1, b"\x80")
     with pytest.raises(headers.DecodeError, match="unsupported NAL"):
         Decoder().decode(stream + extra)
 

@@ -84,8 +84,13 @@ def main():
     ap.add_argument("--frames", type=int, default=2)
     ap.add_argument("--clips", default="pink,scene,detail")
     ap.add_argument("--max-tus", type=int, default=1200)
+    # Default to a SCRATCH path: the committed ops/rate_weights.py ships a
+    # holdout-validated scalar per-QP correction, and the full per-bin
+    # refit this tool emits was rejected by that validation — regenerating
+    # must not silently supersede the validated table. Pass
+    # --out hevctpu/ops/rate_weights.py explicitly to adopt a refit.
     ap.add_argument("--out", default=os.path.join(
-        ROOT, "hevctpu", "ops", "rate_weights.py"))
+        ROOT, "rate_weights_refit.py"))
     args = ap.parse_args()
 
     from hevctpu.ops import rate
