@@ -300,16 +300,28 @@ def _tu_size8(tusz8, sy, sx):
 
 def _deblock_luma_edges(plane, tusz8, qp, h, w, bd=8):
     """Vertical luma edges of `plane` in place (call transposed for
-    horizontal). plane indexed [y, x]."""
-    beta = _DB_BETA[_clip3(0, 51, qp)] << (bd - 8)
-    tc = _DB_TC[_clip3(0, 53, qp + 2)] << (bd - 8)
+    horizontal). plane indexed [y, x]. qp: int, or a per-8x8-slot luma QP
+    map (cu_qp_delta) — per-edge Q is the side average (8.7.2.5.3)."""
+    qmap = None if isinstance(qp, (int, np.integer)) else qp
+    if qmap is None:
+        beta0 = _DB_BETA[_clip3(0, 51, qp)] << (bd - 8)
+        tc0 = _DB_TC[_clip3(0, 53, qp + 2)] << (bd - 8)
+        if beta0 == 0 and tc0 == 0:
+            return
     maxv = (1 << bd) - 1
-    if beta == 0 and tc == 0:
-        return
     for x in range(8, w, 8):
         for ys in range(0, h, 4):
             if (x // 8) % _tu_size8(tusz8, ys // 8, x // 8):
                 continue
+            if qmap is None:
+                beta, tc = beta0, tc0
+            else:
+                qe = (int(qmap[ys // 8, x // 8 - 1])
+                      + int(qmap[ys // 8, x // 8]) + 1) >> 1
+                beta = _DB_BETA[_clip3(0, 51, qe)] << (bd - 8)
+                tc = _DB_TC[_clip3(0, 53, qe + 2)] << (bd - 8)
+                if beta == 0 and tc == 0:
+                    continue
             seg = plane[ys: ys + 4]
 
             def p(i, k):
@@ -373,16 +385,28 @@ def _deblock_luma_edges(plane, tusz8, qp, h, w, bd=8):
 
 
 def _deblock_chroma_edges(plane, tusz8, qp_c, hc, wc, bd=8):
-    """Vertical chroma edges in place. tusz8 is the LUMA leaf-TU map."""
-    tc = _DB_TC[_clip3(0, 53, qp_c + 2)] << (bd - 8)
+    """Vertical chroma edges in place. tusz8 is the LUMA leaf-TU map.
+    qp_c: int, or the per-slot LUMA QP map (cu_qp_delta) — per-edge
+    chroma Q maps the averaged side luma QPs through Table 8-10."""
+    qmap = None if isinstance(qp_c, (int, np.integer)) else qp_c
+    if qmap is None:
+        tc0 = _DB_TC[_clip3(0, 53, qp_c + 2)] << (bd - 8)
+        if tc0 == 0:
+            return
     maxv = (1 << bd) - 1
-    if tc == 0:
-        return
     for xc in range(8, wc, 8):
         for yc in range(hc):
             sy, sx = (2 * yc) // 8, (2 * xc) // 8
             if sx % _tu_size8(tusz8, sy, sx):
                 continue
+            if qmap is None:
+                tc = tc0
+            else:
+                qe = (int(qmap[sy, sx - 1]) + int(qmap[sy, sx]) + 1) >> 1
+                qc = rom.chroma_qp_from_luma(qe)
+                tc = _DB_TC[_clip3(0, 53, qc + 2)] << (bd - 8)
+                if tc == 0:
+                    continue
             p1, p0 = int(plane[yc, xc - 2]), int(plane[yc, xc - 1])
             q0, q1 = int(plane[yc, xc]), int(plane[yc, xc + 1])
             delta = _clip3(-tc, tc, ((((q0 - p0) << 2) + p1 - q1 + 4) >> 3))
@@ -393,16 +417,20 @@ def _deblock_chroma_edges(plane, tusz8, qp_c, hc, wc, bd=8):
 def deblock_frame_np(y, u, v, tusz8, qp, h, w, bd=8):
     """Scalar full-frame deblock: all vertical edges, then all horizontal
     edges on the transposed planes (8.7.2 filter order). Arrays are
-    modified in place and returned."""
-    qp_c = rom.chroma_qp_from_luma(qp)
+    modified in place and returned. qp: int, or per-8x8-slot luma QP map
+    (cu_qp_delta)."""
+    scalar = isinstance(qp, (int, np.integer))
+    qp_c = rom.chroma_qp_from_luma(qp) if scalar else qp
     _deblock_luma_edges(y, tusz8, qp, h, w, bd)
     _deblock_chroma_edges(u, tusz8, qp_c, h // 2, w // 2, bd)
     _deblock_chroma_edges(v, tusz8, qp_c, h // 2, w // 2, bd)
     yt, ut, vt = (np.ascontiguousarray(p.T) for p in (y, u, v))
     d8t = np.ascontiguousarray(tusz8.T)
-    _deblock_luma_edges(yt, d8t, qp, w, h, bd)
-    _deblock_chroma_edges(ut, d8t, qp_c, w // 2, h // 2, bd)
-    _deblock_chroma_edges(vt, d8t, qp_c, w // 2, h // 2, bd)
+    qpt = qp if scalar else np.ascontiguousarray(qp.T)
+    qct = qp_c if scalar else qpt
+    _deblock_luma_edges(yt, d8t, qpt, w, h, bd)
+    _deblock_chroma_edges(ut, d8t, qct, w // 2, h // 2, bd)
+    _deblock_chroma_edges(vt, d8t, qct, w // 2, h // 2, bd)
     return (np.ascontiguousarray(yt.T), np.ascontiguousarray(ut.T),
             np.ascontiguousarray(vt.T))
 

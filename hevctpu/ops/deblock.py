@@ -56,19 +56,33 @@ def tu_edge_mask(tusz8: jnp.ndarray, w: int) -> jnp.ndarray:
     return aligned & inside
 
 
-def _luma_vertical(plane: jnp.ndarray, edge8: jnp.ndarray, qp: int,
+def _luma_vertical(plane: jnp.ndarray, edge8: jnp.ndarray, qp,
                    bit_depth: int = 8):
     """Filter all vertical luma edges. plane [B, H, W] (H, W mult of 8);
-    edge8 [B, H/8, W/8] slot edge flags. Returns filtered plane."""
+    edge8 [B, H/8, W/8] slot edge flags. qp: static int, or (cu_qp_delta
+    operating points) an int32 per-slot map [B, H/8, W/8] — each edge's
+    threshold Q is then the average of the two sides' QPs per 8.7.2.5.3
+    ((QpQ + QpP + 1) >> 1) and beta/tc become per-edge gathers. Returns
+    the filtered plane."""
     b, h, w = plane.shape
     e = w // 8
-    q_b = min(max(qp, 0), 51)
-    q_t = min(max(qp + 2, 0), 53)
-    beta = int(BETA_TABLE[q_b]) << (bit_depth - 8)
-    tc = int(TC_TABLE[q_t]) << (bit_depth - 8)
+    if isinstance(qp, (int, np.integer)):
+        q_b = min(max(qp, 0), 51)
+        q_t = min(max(qp + 2, 0), 53)
+        beta = int(BETA_TABLE[q_b]) << (bit_depth - 8)
+        tc = int(TC_TABLE[q_t]) << (bit_depth - 8)
+        tc4 = tc                                     # broadcasts anywhere
+        if tc == 0 and beta == 0:
+            return plane
+    else:
+        qe = (qp[:, :, :-1] + qp[:, :, 1:] + 1) >> 1   # [B, H/8, E-1]
+        qe = jnp.repeat(qe, 2, axis=1)                 # [B, H/4, E-1]
+        beta = jnp.asarray(BETA_TABLE)[
+            jnp.clip(qe, 0, 51)] << (bit_depth - 8)
+        tc = jnp.asarray(TC_TABLE)[
+            jnp.clip(qe + 2, 0, 53)] << (bit_depth - 8)
+        tc4 = tc[:, :, None, :]                        # line axis
     maxv = (1 << bit_depth) - 1
-    if tc == 0 and beta == 0:
-        return plane
 
     blk = jnp.asarray(plane).reshape(b, h, e, 8)
     # pq [B, H, E-0.. , 8]: samples p3..p0 q0..q3 around edge k (x = 8(k+1)).
@@ -99,7 +113,7 @@ def _luma_vertical(plane: jnp.ndarray, edge8: jnp.ndarray, qp: int,
 
     # strong filter (8.7.2.5.7), clip +-2tc
     def sclip(orig, val):
-        return _clip3(orig - 2 * tc, orig + 2 * tc, val)
+        return _clip3(orig - 2 * tc4, orig + 2 * tc4, val)
 
     sp0 = sclip(p0, (p2 + 2 * p1 + 2 * p0 + 2 * q0 + q1 + 4) >> 3)
     sp1 = sclip(p1, (p2 + p1 + p0 + q0 + 2) >> 2)
@@ -110,13 +124,15 @@ def _luma_vertical(plane: jnp.ndarray, edge8: jnp.ndarray, qp: int,
 
     # weak filter (8.7.2.5.7)
     delta = (9 * (q0 - p0) - 3 * (q1 - p1) + 8) >> 4
-    weak_on = jnp.abs(delta) < tc * 10
-    dlt = _clip3(-tc, tc, delta)
+    weak_on = jnp.abs(delta) < tc4 * 10
+    dlt = _clip3(-tc4, tc4, delta)
     wp0 = jnp.clip(p0 + dlt, 0, maxv)
     wq0 = jnp.clip(q0 - dlt, 0, maxv)
-    dltp = _clip3(-(tc >> 1), tc >> 1, (((p2 + p0 + 1) >> 1) - p1 + dlt) >> 1)
+    dltp = _clip3(-(tc4 >> 1), tc4 >> 1,
+                  (((p2 + p0 + 1) >> 1) - p1 + dlt) >> 1)
     wp1 = jnp.clip(p1 + dltp, 0, maxv)
-    dltq = _clip3(-(tc >> 1), tc >> 1, (((q2 + q0 + 1) >> 1) - q1 - dlt) >> 1)
+    dltq = _clip3(-(tc4 >> 1), tc4 >> 1,
+                  (((q2 + q0 + 1) >> 1) - q1 - dlt) >> 1)
     wq1 = jnp.clip(q1 + dltq, 0, maxv)
 
     st = strong[:, :, None, :] & filt[:, :, None, :]
@@ -138,18 +154,26 @@ def _luma_vertical(plane: jnp.ndarray, edge8: jnp.ndarray, qp: int,
     return blk.reshape(b, h, w)
 
 
-def _chroma_vertical(plane: jnp.ndarray, edge_rows: jnp.ndarray, qp_c: int,
+def _chroma_vertical(plane: jnp.ndarray, edge_rows: jnp.ndarray, qp_c,
                      bit_depth: int = 8):
     """Filter all vertical chroma edges (8.7.2.5.5; bS = 2 edges only).
     plane [B, Hc, Wc]; edge_rows [B, Hc, Wc/8] per-chroma-row edge flags
-    (column k flags the edge at chroma x = 8k)."""
+    (column k flags the edge at chroma x = 8k). qp_c: static int, or a
+    per-edge chroma-QP array [B, Hc, Wc/8 - 1] (cu_qp_delta: derived from
+    the two sides' averaged luma QPs through the chroma QP table)."""
     b, h, w = plane.shape
     e = w // 8
-    q_t = min(max(qp_c + 2, 0), 53)
-    tc = int(TC_TABLE[q_t]) << (bit_depth - 8)
+    if isinstance(qp_c, (int, np.integer)):
+        q_t = min(max(qp_c + 2, 0), 53)
+        tc = int(TC_TABLE[q_t]) << (bit_depth - 8)
+        if tc == 0 or e < 2:
+            return plane
+    else:
+        if e < 2:
+            return plane
+        tc = jnp.asarray(TC_TABLE)[
+            jnp.clip(qp_c + 2, 0, 53)] << (bit_depth - 8)
     maxv = (1 << bit_depth) - 1
-    if tc == 0 or e < 2:
-        return plane
     blk = jnp.asarray(plane).reshape(b, h, e, 8)
     pq = jnp.concatenate([blk[:, :, :-1, 6:], blk[:, :, 1:, :2]], axis=-1)
     p1, p0, q0, q1 = (pq[..., i] for i in range(4))
@@ -162,33 +186,49 @@ def _chroma_vertical(plane: jnp.ndarray, edge_rows: jnp.ndarray, qp_c: int,
     return blk.reshape(b, h, w)
 
 
-def deblock_frame(y, u, v, tusz8, qp: int, h: int, w: int,
+def deblock_frame(y, u, v, tusz8, qp, h: int, w: int,
                   bit_depth: int = 8):
     """Full-frame deblocking: vertical edges of all 3 planes, then
     horizontal edges on the transposed result (spec filter order).
 
     y [B, HP, WP], u/v [B, HP/2, WP/2] (CTU-padded recon; only in-picture
-    edges filter), tusz8 [B, HP/8, WP/8] leaf TU log2 per slot. Returns
-    the filtered planes.
+    edges filter), tusz8 [B, HP/8, WP/8] leaf TU log2 per slot. qp:
+    static int, or a per-slot luma QP map [B, HP/8, WP/8] (cu_qp_delta:
+    per-edge thresholds from the averaged side QPs, 8.7.2.5.3/8.7.2.5.5).
+    Returns the filtered planes.
     """
-    qp_c = rom.chroma_qp_from_luma(qp)
+    scalar_qp = isinstance(qp, (int, np.integer))
+    qp_c = rom.chroma_qp_from_luma(qp) if scalar_qp else None
 
-    def run(yy, uu, vv, d8, width):
+    def chroma_edge_qp(qmap):
+        """[B, S_y, S_x] luma slot QPs -> [B, Hc, Ec-1] per-chroma-edge
+        chroma QP (sides averaged, then Table 8-10)."""
+        ec = qmap.shape[-1] // 2           # chroma 8-blocks per row
+        qa = qmap[:, :, 1::2][:, :, :ec - 1]
+        qb = qmap[:, :, 2::2][:, :, :ec - 1]
+        qavg = (qa + qb + 1) >> 1
+        qc = jnp.asarray(rom.CHROMA_QP_TABLE)[jnp.clip(qavg, 0, 57)]
+        return jnp.repeat(qc, 4, axis=1)   # luma slot row = 4 chroma rows
+
+    def run(yy, uu, vv, d8, qmap, width):
         ey = tu_edge_mask(d8, width)
         # chroma edges live on the chroma 8-grid = luma 16-grid: take every
         # 2nd luma slot column, and expand slot rows to chroma rows (one
         # luma slot row = 4 chroma rows) so bS follows luma structure
         # per-line.
         ec_rows = jnp.repeat(ey[:, :, ::2], 4, axis=1)
-        yy = _luma_vertical(yy, ey, qp, bit_depth)
-        uu = _chroma_vertical(uu, ec_rows, qp_c, bit_depth)
-        vv = _chroma_vertical(vv, ec_rows, qp_c, bit_depth)
+        qc = qp_c if scalar_qp else chroma_edge_qp(qmap)
+        yy = _luma_vertical(yy, ey, qp if scalar_qp else qmap, bit_depth)
+        uu = _chroma_vertical(uu, ec_rows, qc, bit_depth)
+        vv = _chroma_vertical(vv, ec_rows, qc, bit_depth)
         return yy, uu, vv
 
     # vertical pass, then horizontal pass = vertical pass on the transpose
-    y, u, v = run(y, u, v, tusz8, w)
+    qmap = None if scalar_qp else jnp.asarray(qp)
+    y, u, v = run(y, u, v, tusz8, qmap, w)
     yt, ut, vt = (jnp.swapaxes(p, -1, -2) for p in (y, u, v))
     d8t = jnp.swapaxes(tusz8, -1, -2)
-    yt, ut, vt = run(yt, ut, vt, d8t, h)
+    qt = None if scalar_qp else jnp.swapaxes(qmap, -1, -2)
+    yt, ut, vt = run(yt, ut, vt, d8t, qt, h)
     return (jnp.swapaxes(yt, -1, -2), jnp.swapaxes(ut, -1, -2),
             jnp.swapaxes(vt, -1, -2))

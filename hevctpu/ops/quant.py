@@ -36,13 +36,32 @@ def transform_shift(log2_size: int, bit_depth: int = 8) -> int:
     return rom.MAX_TR_DYNAMIC_RANGE - bit_depth - log2_size
 
 
-def quantize(coef: jnp.ndarray, log2_size: int, qp: int, *,
+def _qp_bc(qp, ref) -> jnp.ndarray:
+    """Broadcast a per-TU qp array against a [..., N, N]-like operand."""
+    q = jnp.asarray(qp)
+    return q.reshape(q.shape + (1,) * (ref.ndim - q.ndim))
+
+
+def quantize(coef: jnp.ndarray, log2_size: int, qp, *,
              bit_depth: int = 8, intra: bool = True) -> jnp.ndarray:
-    """Hard-decision quantization of [..., N, N] coefficients -> levels."""
-    qbits = rom.QUANT_SHIFT + qp // 6 + transform_shift(log2_size, bit_depth)
-    scale = int(rom.QUANT_SCALES[qp % 6])
-    add = (171 if intra else 85) << (qbits - 9)
-    level = (jnp.abs(coef) * scale + add) >> qbits
+    """Hard-decision quantization of [..., N, N] coefficients -> levels.
+
+    qp is a static int, or (cu_qp_delta operating points) an int32 array
+    over the leading TU dims — per-CTU QP maps gather to per-TU values and
+    the scale/shift become elementwise (TComTrQuant setQpParam semantics).
+    """
+    tshift = transform_shift(log2_size, bit_depth)
+    if isinstance(qp, (int, np.integer)):
+        qbits = rom.QUANT_SHIFT + int(qp) // 6 + tshift
+        scale = int(rom.QUANT_SCALES[qp % 6])
+        add = (171 if intra else 85) << (qbits - 9)
+        level = (jnp.abs(coef) * scale + add) >> qbits
+    else:
+        q = _qp_bc(qp, coef)
+        qbits = rom.QUANT_SHIFT + q // 6 + tshift
+        scale = jnp.asarray(np.asarray(rom.QUANT_SCALES, np.int32))[q % 6]
+        add = jnp.left_shift(171 if intra else 85, qbits - 9)
+        level = jnp.right_shift(jnp.abs(coef) * scale + add, qbits)
     level = jnp.clip(level, 0, 32767)
     return jnp.where(coef < 0, -level, level)
 
@@ -75,9 +94,10 @@ def _last_bits_scan(log2_size: int, w_last: int) -> np.ndarray:
     return np.asarray(lb)[ys] + np.asarray(lb)[xs]
 
 
-def quantize_rdoq(coef: jnp.ndarray, log2_size: int, qp: int, lam: float, *,
+def quantize_rdoq(coef: jnp.ndarray, log2_size: int, qp, lam, *,
                   bit_depth: int = 8, scan: jnp.ndarray | None = None,
-                  lastpos: bool | None = None) -> jnp.ndarray:
+                  lastpos: bool | None = None,
+                  rate_qp: int | None = None) -> jnp.ndarray:
     """RD-optimized quantization of [..., N, N] coefficients -> levels.
 
     Per coefficient, choose l ∈ {round(c/q), round(c/q)-1, 0} minimizing
@@ -93,10 +113,25 @@ def quantize_rdoq(coef: jnp.ndarray, log2_size: int, qp: int, lam: float, *,
     """
     from hevctpu.ops import rate  # local import: rate imports quant
 
-    qbits = rom.QUANT_SHIFT + qp // 6 + transform_shift(log2_size, bit_depth)
-    scale = int(rom.QUANT_SCALES[qp % 6])
+    # qp/lam may be per-TU arrays (cu_qp_delta); the RATE tables stay at
+    # the static slice QP (rate_qp) — context initialization depends on
+    # SliceQpY only (9.3.2.2), cu_qp_delta never re-inits contexts.
+    vec = not isinstance(qp, (int, np.integer))
+    if rate_qp is None:
+        assert not vec, "per-TU qp needs an explicit static rate_qp"
+        rate_qp = int(qp)
     absc = jnp.abs(coef)
-    l1 = jnp.clip((absc * scale + (1 << (qbits - 1))) >> qbits, 0, 32767)
+    tshift = transform_shift(log2_size, bit_depth)
+    if vec:
+        qv = _qp_bc(qp, coef)
+        qbits = rom.QUANT_SHIFT + qv // 6 + tshift
+        scale = jnp.asarray(np.asarray(rom.QUANT_SCALES, np.int32))[qv % 6]
+        l1 = jnp.clip(jnp.right_shift(
+            absc * scale + jnp.left_shift(1, qbits - 1), qbits), 0, 32767)
+    else:
+        qbits = rom.QUANT_SHIFT + qp // 6 + tshift
+        scale = int(rom.QUANT_SCALES[qp % 6])
+        l1 = jnp.clip((absc * scale + (1 << (qbits - 1))) >> qbits, 0, 32767)
     l0 = jnp.maximum(l1 - 1, 0)
 
     # rice parameter per CG from the provisional level magnitudes.
@@ -110,12 +145,18 @@ def quantize_rdoq(coef: jnp.ndarray, log2_size: int, qp: int, lam: float, *,
 
     dscale = 4.0 ** (log2_size - 7)
     lam_u = lam / rate.BITS_ONE
-    wq = rate.bin_weights(qp)
+    if isinstance(lam, (int, float)):
+        lam2 = lam1 = lam_u                 # scalar λ broadcasts anywhere
+    else:                                   # per-TU λ [...]: explicit axes
+        lam_a = jnp.asarray(lam_u)
+        lam2 = lam_a[..., None, None]
+        lam1 = lam_a[..., None]
+    wq = rate.bin_weights(rate_qp)
 
     def cost(lvl):
         deq = dequantize(lvl, log2_size, qp, bit_depth=bit_depth)
         err = (absc - deq).astype(jnp.float32)
-        return err * err * dscale + lam_u * rate.level_bits(
+        return err * err * dscale + lam2 * rate.level_bits(
             lvl, k, wq).astype(jnp.float32)
 
     c1, c0, cz = cost(l1), cost(l0), cost(jnp.zeros_like(l1))
@@ -130,7 +171,7 @@ def quantize_rdoq(coef: jnp.ndarray, log2_size: int, qp: int, lam: float, *,
             axis=(-3, -1))
 
     if n > 4:
-        coded_cost = pool_cg(csel) + lam_u * wq["csbf"]
+        coded_cost = pool_cg(csel) + lam2 * wq["csbf"]
         zero_cost = pool_cg(cz)
         kill = (zero_cost < coded_cost)[..., :, None, :, None]
         kill = jnp.broadcast_to(
@@ -159,7 +200,7 @@ def quantize_rdoq(coef: jnp.ndarray, log2_size: int, qp: int, lam: float, *,
             err = (absc - deq).astype(jnp.float32)
             d = jnp.sum(err * err, axis=(-2, -1)) * dscale
             return d + lam_u * rate.estimate_tu_bits(
-                lv, log2_size, qp).astype(jnp.float32)
+                lv, log2_size, rate_qp).astype(jnp.float32)
 
         take = (full_j0(lvl) <= full_j0(hdq))[..., None, None]
         lvl = jnp.where(take, lvl, hdq)
@@ -183,7 +224,7 @@ def quantize_rdoq(coef: jnp.ndarray, log2_size: int, qp: int, lam: float, *,
         zsum = jnp.cumsum(z_scan, axis=-1)
         tail_zero = zsum[..., -1:] - zsum
         j_q = (csum + tail_zero
-               + lam_u * (jnp.asarray(lastb[s], jnp.float32)
+               + lam1 * (jnp.asarray(lastb[s], jnp.float32)
                           + float(wq["cbf1"])))
         j_q = jnp.where(l_scan != 0, j_q, jnp.inf)
         q_best = jnp.argmin(j_q, axis=-1)
@@ -213,7 +254,7 @@ def quantize_rdoq(coef: jnp.ndarray, log2_size: int, qp: int, lam: float, *,
         err = (absc - deq).astype(jnp.float32)
         d = jnp.sum(err * err, axis=(-2, -1)) * dscale
         return d + lam_u * rate.estimate_tu_bits(
-            lv, log2_size, qp).astype(jnp.float32)
+            lv, log2_size, rate_qp).astype(jnp.float32)
 
     take_rdoq = (full_j(lvl) <= full_j(hdq))[..., None, None]
     lvl = jnp.where(take_rdoq, lvl, hdq)
@@ -311,14 +352,29 @@ def sign_bit_hide(lvl: jnp.ndarray, coef: jnp.ndarray, log2_size: int,
     return uncgv(out)
 
 
-def dequantize(level: jnp.ndarray, log2_size: int, qp: int, *,
+def dequantize(level: jnp.ndarray, log2_size: int, qp, *,
                bit_depth: int = 8) -> jnp.ndarray:
-    """Normative dequant (H.265 8.6.3, m=16): levels -> coefficients."""
+    """Normative dequant (H.265 8.6.3, m=16): levels -> coefficients.
+
+    qp: static int, or int32 array over the leading TU dims (see
+    quantize) — both shift directions of the spec formula evaluate
+    elementwise with clamped shift amounts."""
     bd_shift = bit_depth + log2_size - 5
-    scale = int(rom.INV_QUANT_SCALES[qp % 6]) * 16
-    e = qp // 6 - bd_shift
-    if e < 0:
-        d = (level * scale + (1 << (-e - 1))) >> (-e)
+    if isinstance(qp, (int, np.integer)):
+        scale = int(rom.INV_QUANT_SCALES[qp % 6]) * 16
+        e = int(qp) // 6 - bd_shift
+        if e < 0:
+            d = (level * scale + (1 << (-e - 1))) >> (-e)
+        else:
+            d = (level * scale) << e
     else:
-        d = (level * scale) << e
+        q = _qp_bc(qp, level)
+        scale = jnp.asarray(
+            np.asarray(rom.INV_QUANT_SCALES, np.int32))[q % 6] * 16
+        e = q // 6 - bd_shift
+        neg = jnp.maximum(-e, 0)
+        rnd = jnp.where(e < 0, jnp.left_shift(1, jnp.maximum(neg - 1, 0)), 0)
+        d = jnp.where(e < 0,
+                      jnp.right_shift(level * scale + rnd, neg),
+                      jnp.left_shift(level * scale, jnp.maximum(e, 0)))
     return jnp.clip(d, -32768, 32767)

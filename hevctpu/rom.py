@@ -119,6 +119,12 @@ def chroma_qp_from_luma(qp_luma: int, chroma_qp_offset: int = 0) -> int:
     return table[qpi - 30]
 
 
+# Table 8-10 as a gatherable [58] array (per-CTU QP maps under cu_qp_delta
+# index it with traced luma QPs).
+CHROMA_QP_TABLE = np.array([chroma_qp_from_luma(q) for q in range(58)],
+                           np.int32)
+
+
 # ---------------------------------------------------------------------------
 # Intra prediction (H.265 8.4.4.2).
 # ---------------------------------------------------------------------------
