@@ -191,14 +191,20 @@ def cmd_encode(args) -> int:
     for i in range(0, n, bsz):
         j = min(i + bsz, n)
         qp = ec.qp
+        qp_map = None
         if ratec is not None:
             qp, _ = ratec.start_picture(ratec.complexity(y[i]))
+            if ec.lcu_rc:
+                # LCU-level allocation (cu_qp_delta): per-CTU QPs from the
+                # picture budget's SATD shares (TEncRateCtrl.cpp:845)
+                qp_map = ratec.lcu_qp_map(y[i])[None]
         elif ec.adaptive_qp:
             from hevctpu.pipeline.preanalysis import frame_qp_offset
             qp = int(np.clip(ec.qp + frame_qp_offset(y[i]), 0, 51))
         out = get_enc(qp).encode(
             y[i:j], u[i:j], v[i:j],
-            labels[i:j] if labels is not None else None)
+            labels[i:j] if labels is not None else None,
+            qp_map=qp_map)
         out["qp"] = qp
         if ratec is not None:
             # entropy-encode the picture's NALs once: feed the size to the

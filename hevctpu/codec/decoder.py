@@ -80,29 +80,36 @@ class Decoder:
     def _decode_slice(self, rbsp: bytes, nal_type: int):
         sh = headers.parse_slice_header(rbsp, self.sps, self.pps, nal_type)
         w, h = self.sps["width"], self.sps["height"]
+        if self.pps.get("cu_qp_delta") and \
+                self.pps.get("cu_qp_delta_depth", 0) != 0:
+            raise headers.DecodeError(
+                "diff_cu_qp_delta_depth > 0 unsupported (QG == CTB only)")
         cfg = headers.StreamConfig(
             width=w, height=h, qp=sh["qp"],
             strong_intra_smoothing=self.sps["strong_intra_smoothing"],
             sign_data_hiding=self.pps["sign_data_hiding"],
             max_tu_depth_intra=self.sps["max_tu_depth_intra"],
             transform_skip=self.pps["transform_skip"],
-            sao=self.sps["sao"])
+            sao=self.sps["sao"],
+            cu_qp_delta=bool(self.pps.get("cu_qp_delta")))
         sd = SliceDecoder(cfg, rbsp, sh["data_offset"]).decode()
 
         hp, wp = sd.rc * 64, sd.cc * 64
         planes = {0: np.zeros((hp, wp), np.int32),
                   1: np.zeros((hp // 2, wp // 2), np.int32),
                   2: np.zeros((hp // 2, wp // 2), np.int32)}
-        qp_c = rom.chroma_qp_from_luma(sh["qp"])
         for (x0, y0, log2, comp, mode, cbf) in sd.tu_list:
             is_luma = comp == 0
             ts = False
             if log2 == 2 and cbf:
                 ts = bool(sd.ts4[y0 // 4, x0 // 4] if is_luma
                           else sd.ts_c[comp][y0 // 4, x0 // 4])
+            # per-CTU QP under cu_qp_delta (sd.qp_ctu defaults to slice QP)
+            ctu_span = 64 if is_luma else 32
+            qp_y = int(sd.qp_ctu[y0 // ctu_span, x0 // ctu_span])
             refimpl.recon_tu(
                 planes[comp], sd.levels[comp], y0, x0, log2, mode, cbf,
-                sh["qp"] if is_luma else qp_c, is_luma,
+                qp_y if is_luma else rom.chroma_qp_from_luma(qp_y), is_luma,
                 h if is_luma else h // 2, w if is_luma else w // 2,
                 span=64 if is_luma else 32,
                 strong_smoothing=cfg.strong_intra_smoothing,
@@ -111,8 +118,12 @@ class Decoder:
         ry, ru, rv = (planes[0][:h, :w], planes[1][:h // 2, :w // 2],
                       planes[2][:h // 2, :w // 2])
         if not self.pps.get("deblock_disabled", True):
+            db_qp = sh["qp"]
+            if cfg.cu_qp_delta:
+                db_qp = np.repeat(np.repeat(sd.qp_ctu, 8, 0), 8, 1)[
+                    : h // 8, : w // 8]
             ry, ru, rv = refimpl.deblock_frame_np(
-                ry, ru, rv, sd.tusz8[: h // 8, : w // 8], sh["qp"], h, w)
+                ry, ru, rv, sd.tusz8[: h // 8, : w // 8], db_qp, h, w)
         if sd.sao is not None:
             ry, ru, rv = refimpl.sao_frame_np(ry, ru, rv, sd.sao, h, w)
         self.frames.append((ry, ru, rv))
@@ -162,6 +173,17 @@ def encode_frame_nals(cfg: headers.StreamConfig, fr: dict,
             "is off — the flags would not be coded and the levels would "
             "dequantize through the wrong inverse")
     # rate control / adaptive QP: a batch may carry its own slice QP.
+    if cfg.cu_qp_delta:
+        if "qp_ctu" not in fr:
+            raise ValueError(
+                "cfg.cu_qp_delta is on but the frame carries no qp_ctu "
+                "map — encode with a per-CTU QP map or use a "
+                "cu_qp_delta=False StreamConfig")
+    elif "qp_ctu" in fr:
+        raise ValueError(
+            "frame carries a per-CTU QP map but cfg.cu_qp_delta is off — "
+            "no deltas would be coded and dequantization would use the "
+            "wrong scales")
     fcfg = cfg
     if "qp" in fr and int(fr["qp"]) != cfg.qp:
         fcfg = dataclasses.replace(cfg, qp=int(fr["qp"]))

@@ -41,6 +41,10 @@ class StreamConfig:
     # | "none". The reference supports all three (TComPicYuvMD5.cpp:
     # 129-227); HM's default is MD5.
     hash_type: str = "md5"
+    # cu_qp_delta_enabled_flag (7.4.3.3.2): per-quantization-group QP
+    # deltas (LCU-level rate control, TEncRateCtrl.cpp:845). Only
+    # diff_cu_qp_delta_depth = 0 is emitted (QG == CTB).
+    cu_qp_delta: bool = False
 
 
 def _profile_tier_level(bw: BitWriter):
@@ -140,7 +144,9 @@ def write_pps(cfg: StreamConfig) -> bytes:
     bw.se(0)              # init_qp_minus26
     bw.flag(0)            # constrained_intra_pred_flag
     bw.flag(1 if cfg.transform_skip else 0)  # transform_skip_enabled_flag
-    bw.flag(0)            # cu_qp_delta_enabled_flag
+    bw.flag(1 if cfg.cu_qp_delta else 0)     # cu_qp_delta_enabled_flag
+    if cfg.cu_qp_delta:
+        bw.ue(0)          # diff_cu_qp_delta_depth (QG == CTB)
     bw.se(0)              # pps_cb_qp_offset
     bw.se(0)              # pps_cr_qp_offset
     bw.flag(0)            # pps_slice_chroma_qp_offsets_present_flag
@@ -411,8 +417,7 @@ def parse_pps(rbsp: bytes) -> dict:
     pps["constrained_intra_pred"] = br.flag()
     pps["transform_skip"] = br.flag()
     pps["cu_qp_delta"] = br.flag()
-    if pps["cu_qp_delta"]:
-        br.ue()
+    pps["cu_qp_delta_depth"] = br.ue() if pps["cu_qp_delta"] else 0
     pps["cb_qp_offset"] = br.se()
     pps["cr_qp_offset"] = br.se()
     pps["slice_chroma_qp_offsets"] = br.flag()

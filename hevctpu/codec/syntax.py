@@ -159,22 +159,70 @@ class SliceEncoder(_Walker):
                         for k in ("type", "eo", "bp", "off")}
             self.sao["merge"] = (frame["sao_merge"][frame_idx]
                                  if "sao_merge" in frame else None)
+        # cu_qp_delta: per-CTU absolute QP map (qp_ctu [rc, cc]); CTUs
+        # with no coded cbf inherit the predicted QP (no delta signaled),
+        # so the map must already be inheritance-consistent.
+        self.qp_ctu = None
+        if cfg.cu_qp_delta:
+            self.qp_ctu = (np.asarray(frame["qp_ctu"][frame_idx], np.int64)
+                           if "qp_ctu" in frame
+                           else np.full((self.rc, self.cc), cfg.qp))
 
     def encode(self) -> bytes:
         bw = headers.write_slice_header(self.cfg)
         self.ctx = ContextSet(self.cfg.qp, init_type=0)
         self.c = CabacEncoder(bw)
         n_ctu = self.rc * self.cc
+        self._qp_pred = self.cfg.qp
         for a in range(n_ctu):
             r, c = divmod(a, self.cc)
             if self.sao is not None:
                 self._sao_params(r, c)
+            self._qp_coded = False
+            if self.qp_ctu is not None:
+                self._qp_target = int(self.qp_ctu[r, c])
             self._quadtree(64 * c, 64 * r, 6)
+            if self.qp_ctu is not None:
+                if not self._qp_coded and self._qp_target != self._qp_pred:
+                    raise ValueError(
+                        f"CTU ({r},{c}) codes no cbf but qp_ctu "
+                        f"{self._qp_target} != predicted {self._qp_pred} — "
+                        "the map must inherit where no delta is signaled")
+                self._qp_pred = self._qp_target
             self.c.encode_terminate(1 if a == n_ctu - 1 else 0)
         # terminate(1) flushed the engine, and the flush's final written bit
         # is the rbsp_stop_one_bit (9.3.4.3.5 note); only zero-align remains.
         bw.align_zero()
         return bw.data()
+
+    def _maybe_code_delta(self):
+        """cu_qp_delta_abs/sign at the first cbf-carrying transform_unit
+        of the quantization group (7.3.8.10; binarization 9.3.3.10: TR
+        cMax 5 with ctx 0 for the first bin and ctx 1 for bins 1..4, EG0
+        bypass suffix, bypass sign)."""
+        if self.qp_ctu is None or self._qp_coded:
+            return
+        self._qp_coded = True
+        d = self._qp_target - self._qp_pred
+        a = abs(d)
+        tu = min(a, 5)
+        self.c.encode_bin(self.ctx("cu_qp_delta_abs", 0), 1 if tu else 0)
+        if not tu:
+            return
+        for _ in range(tu - 1):
+            self.c.encode_bin(self.ctx("cu_qp_delta_abs", 1), 1)
+        if tu < 5:
+            self.c.encode_bin(self.ctx("cu_qp_delta_abs", 1), 0)
+        if a >= 5:
+            v, k = a - 5, 0
+            while v >= (1 << k):
+                self.c.encode_bypass(1)
+                v -= 1 << k
+                k += 1
+            self.c.encode_bypass(0)
+            for i in range(k - 1, -1, -1):
+                self.c.encode_bypass((v >> i) & 1)
+        self.c.encode_bypass(1 if d < 0 else 0)
 
     # -- SAO (7.3.8.3; binarizations 9.3.3) --------------------------------
 
@@ -289,6 +337,8 @@ class SliceEncoder(_Walker):
                 [(x0, y0), (x0 + 4, y0), (x0, y0 + 4), (x0 + 4, y0 + 4)]):
             cbf_l = bool(self.cbf4[py // 4, px // 4])
             self.c.encode_bin(self.ctx("cbf_luma", 0), int(cbf_l))  # depth 1
+            if cbf_l or (k == 3 and (cb or cr)):
+                self._maybe_code_delta()
             if cbf_l:
                 self._residual(px, py, 2, 0, pmodes[k])
         if cb:
@@ -340,10 +390,12 @@ class SliceEncoder(_Walker):
                                      depth + 1, cb, cr, mode, cmode)
             return
         if split:  # log2 == 3: four 4x4 luma TUs, chroma stays at this node
-            for px, py in ((x0, y0), (x0 + 4, y0), (x0, y0 + 4),
-                           (x0 + 4, y0 + 4)):
+            for k, (px, py) in enumerate(((x0, y0), (x0 + 4, y0),
+                                          (x0, y0 + 4), (x0 + 4, y0 + 4))):
                 cbf_l = bool(self.cbf4[py // 4, px // 4])
                 self.c.encode_bin(self.ctx("cbf_luma", 0), int(cbf_l))
+                if cbf_l or (k == 3 and (cb or cr)):
+                    self._maybe_code_delta()
                 if cbf_l:
                     self._residual(px, py, 2, 0, mode)
             if cb:
@@ -354,6 +406,8 @@ class SliceEncoder(_Walker):
         cbf_l = bool(self.cbf[0][y0 // 8, x0 // 8])
         self.c.encode_bin(self.ctx("cbf_luma", 1 if depth == 0 else 0),
                           int(cbf_l))
+        if cbf_l or (code_chroma and (cb or cr)):
+            self._maybe_code_delta()
         if cbf_l:
             self._residual(x0, y0, log2, 0, mode)
         if code_chroma:
@@ -540,6 +594,9 @@ class SliceDecoder(_Walker):
                        1: np.zeros((self.rc * 32, self.cc * 32), np.int32),
                        2: np.zeros((self.rc * 32, self.cc * 32), np.int32)}
         self.tu_list = []  # (x0, y0, log2, comp, mode, cbf) in decode order
+        # cu_qp_delta: reconstructed per-CTU QP (QG == CTB); filled during
+        # decode, defaults to the slice QP when the feature is off.
+        self.qp_ctu = np.full((self.rc, self.cc), cfg.qp, np.int32)
         self.sao = None
         if cfg.sao:
             self.sao = {
@@ -552,14 +609,47 @@ class SliceDecoder(_Walker):
         self.ctx = ContextSet(self.cfg.qp, init_type=0)
         self.c = CabacDecoder(self.rbsp, self.offset)
         n_ctu = self.rc * self.cc
+        self._qp_pred = self.cfg.qp
         for a in range(n_ctu):
             r, c = divmod(a, self.cc)
             if self.sao is not None:
                 self._sao_params(r, c)
+            self._qp_coded = False
+            self._qp_cur = self._qp_pred
             self._quadtree(64 * c, 64 * r, 6)
+            if self.cfg.cu_qp_delta:
+                self.qp_ctu[r, c] = self._qp_cur
+                self._qp_pred = self._qp_cur
             end = self.c.decode_terminate()
             assert end == (1 if a == n_ctu - 1 else 0), (a, end)
         return self
+
+    def _maybe_decode_delta(self):
+        """Mirror of SliceEncoder._maybe_code_delta (7.3.8.10/9.3.3.10);
+        QpY update per 8.6.1 (8-bit: (pred + delta + 52) % 52)."""
+        if not self.cfg.cu_qp_delta or self._qp_coded:
+            return
+        self._qp_coded = True
+        tu = 0
+        if self.c.decode_bin(self.ctx("cu_qp_delta_abs", 0)):
+            tu = 1
+            while tu < 5 and self.c.decode_bin(
+                    self.ctx("cu_qp_delta_abs", 1)):
+                tu += 1
+        a = tu
+        if tu == 5:
+            base, k = 0, 0
+            while self.c.decode_bypass():
+                base += 1 << k
+                k += 1
+            v = 0
+            for _ in range(k):
+                v = (v << 1) | self.c.decode_bypass()
+            a = 5 + base + v
+        d = 0
+        if a:
+            d = -a if self.c.decode_bypass() else a
+        self._qp_cur = (self._qp_pred + d + 52) % 52
 
     def _sao_params(self, r, c):
         m = 0
@@ -672,6 +762,8 @@ class SliceDecoder(_Walker):
                 [(x0, y0), (x0 + 4, y0), (x0, y0 + 4), (x0 + 4, y0 + 4)]):
             cbf_l = bool(self.c.decode_bin(self.ctx("cbf_luma", 0)))
             self.cbf4[py // 4, px // 4] = cbf_l
+            if cbf_l or (k == 3 and (cb or cr)):
+                self._maybe_decode_delta()
             if cbf_l:
                 self._residual(px, py, 2, 0, pmodes[k])
             self.tu_list.append((px, py, 2, 0, pmodes[k], cbf_l))
@@ -710,10 +802,12 @@ class SliceDecoder(_Walker):
             return
         if split:  # log2 == 3: four 4x4 luma TUs + chroma at this node
             self.tusz8[y0 // 8, x0 // 8] = 2
-            for px, py in ((x0, y0), (x0 + 4, y0), (x0, y0 + 4),
-                           (x0 + 4, y0 + 4)):
+            for k, (px, py) in enumerate(((x0, y0), (x0 + 4, y0),
+                                          (x0, y0 + 4), (x0 + 4, y0 + 4))):
                 cbf_l = bool(self.c.decode_bin(self.ctx("cbf_luma", 0)))
                 self.cbf4[py // 4, px // 4] = cbf_l
+                if cbf_l or (k == 3 and (cb or cr)):
+                    self._maybe_decode_delta()
                 if cbf_l:
                     self._residual(px, py, 2, 0, mode)
                 self.tu_list.append((px, py, 2, 0, mode, cbf_l))
@@ -733,6 +827,8 @@ class SliceDecoder(_Walker):
         self.cbf[0][y0 // 8, x0 // 8] = cbf_l
         self.cbf[1][y0 // 8, x0 // 8] = cb
         self.cbf[2][y0 // 8, x0 // 8] = cr
+        if cbf_l or (code_chroma and (cb or cr)):
+            self._maybe_decode_delta()
         if cbf_l:
             self._residual(x0, y0, log2, 0, mode)
         self.tu_list.append((x0, y0, log2, 0, mode, cbf_l))

@@ -51,6 +51,7 @@ class EncoderConfig:
     fixed_depth: Optional[int] = None  # bypass CNN with a constant depth
     batch: int = 4                    # frames per device step
     target_kbps: float = 0.0          # >0 enables R-lambda rate control
+    lcu_rc: bool = False              # LCU-level R-lambda (cu_qp_delta)
     adaptive_qp: bool = False         # TM5-step-3 preanalysis QP offset
     hash_type: str = "md5"            # DecodedPictureHashSEI type
     rate_model: str = "ctx"           # search rate estimator: ctx | global
@@ -86,7 +87,8 @@ class EncoderConfig:
             max_tu_depth_intra=self.max_tu_depth_intra,
             transform_skip=self.transform_skip,
             deblock=self.deblock, sao=self.sao,
-            hash_type=self.hash_type)
+            hash_type=self.hash_type,
+            cu_qp_delta=self.lcu_rc and self.target_kbps > 0)
 
     def encoder_kwargs(self) -> dict:
         """Keyword arguments for FrameEncoder(h, w, qp, **kwargs)."""
@@ -149,6 +151,8 @@ OPTION_MAP = {
     "FixedDepth": ("fixed_depth", int),
     "Batch": ("batch", int),
     "TargetKbps": ("target_kbps", float),
+    # HM's LCULevelRateControl (TEncRateCtrl.cpp:845 getLCUEstLambda)
+    "LCULevelRateControl": ("lcu_rc", _to_bool),
     "AdaptiveQP": ("adaptive_qp", _to_bool),
     # DecodedPictureHash SEI type: HM signals 1=MD5 via DecodedPictureHash
     # (TAppEncCfg); we take the name directly.

@@ -89,6 +89,7 @@ def _load():
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p, ctypes.c_int,
         ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p,
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int]
     _lib = lib
     return _lib
@@ -148,13 +149,21 @@ def encode_slice_data(width: int, height: int, qp: int,
         tsa = [np.ascontiguousarray(frame[k][i], np.uint8)
                for k in ("ts4_y", "ts8_u", "ts8_v")]
         tsp = [a.ctypes.data_as(ctypes.c_void_p) for a in tsa]
+    qpp = None
+    if "qp_ctu" in frame:  # cu_qp_delta per-CTU QP map
+        qpa = np.ascontiguousarray(frame["qp_ctu"][i], np.int32)
+        qpp = qpa.ctypes.data_as(ctypes.c_void_p)
     cap = lv[0].size * 8 + 65536
     out = (ctypes.c_uint8 * cap)()
     n = lib.encode_slice_data(width, height, qp, d8, m4, cs8, nx8, cbf4,
                               cbf[0], cbf[1], cbf[2], lv[0], lv[1], lv[2],
                               sp[0], sp[1], sp[2], sp[3], sp[4], int(sbh),
                               tzp, int(max_tu_depth), int(transform_skip),
-                              tsp[0], tsp[1], tsp[2], out, cap)
+                              tsp[0], tsp[1], tsp[2], qpp, out, cap)
+    if n == -2:
+        raise ValueError(
+            "native entropy: qp_ctu map not inheritance-consistent "
+            "(a CTU with no coded cbf must carry the predicted QP)")
     if n < 0:
         raise RuntimeError("native entropy: output overflow")
     return bytes(bytearray(out)[:n])

@@ -304,6 +304,10 @@ struct SliceEnc {
   const int32_t* sao_off = nullptr;
   const int32_t* sao_merge = nullptr;  // 0 new, 1 left, 2 up
   bool sbh = false;  // pps sign_data_hiding_enabled_flag
+  // cu_qp_delta (7.3.8.10): per-CTU absolute QP map [rc*cc] or null.
+  const int32_t* qp_ctu = nullptr;
+  int slice_qp = 0, qp_pred = 0, qp_target = 0;
+  bool qp_coded = false, qp_error = false;
   bool transform_skip = false;     // pps transform_skip_enabled_flag
   const uint8_t* ts4 = nullptr;    // luma 4x4 TS flags [h4 * w4]
   const uint8_t* ts8_u = nullptr;  // chroma 4x4 TS flags [h8 * w8]
@@ -318,19 +322,51 @@ struct SliceEnc {
       : w(width), h(height), rc((height + 63) / 64), cc((width + 63) / 64),
         h8(rc * 8), w8(cc * 8), wl(cc * 64), wc(cc * 32), depth8(d8),
         mode4(m8), csel8(cs8), cbf{cy, cu, cv}, levels{ly, lu, lv},
-        c(bw, qp) {}
+        c(bw, qp) { slice_qp = qp; }
 
   int d8(int y8, int x8) const { return depth8[y8 * w8 + x8]; }
 
   void encode() {
     int n_ctu = rc * cc;
+    qp_pred = slice_qp;
     for (int a = 0; a < n_ctu; a++) {
       int r = a / cc, col = a % cc;
       if (sao_type != nullptr) sao_params(r, col);
+      qp_coded = false;
+      if (qp_ctu != nullptr) qp_target = qp_ctu[r * cc + col];
       quadtree(64 * col, 64 * r, 6);
+      if (qp_ctu != nullptr) {
+        if (!qp_coded && qp_target != qp_pred) {
+          qp_error = true;  // map not inheritance-consistent
+          return;
+        }
+        qp_pred = qp_target;
+      }
       c.terminate(a == n_ctu - 1 ? 1 : 0);
     }
     bw.align_zero();
+  }
+
+  // cu_qp_delta_abs/sign at the first cbf-carrying transform_unit of the
+  // quantization group (9.3.3.10: TR cMax 5, EG0 bypass suffix; mirrors
+  // syntax.py SliceEncoder._maybe_code_delta).
+  void maybe_code_delta() {
+    if (qp_ctu == nullptr || qp_coded) return;
+    qp_coded = true;
+    int d = qp_target - qp_pred;
+    int a = d < 0 ? -d : d;
+    int tu = a < 5 ? a : 5;
+    c.bin(CTX_CU_QP_DELTA_ABS, tu ? 1 : 0);
+    if (!tu) return;
+    for (int i = 0; i < tu - 1; i++) c.bin(CTX_CU_QP_DELTA_ABS + 1, 1);
+    if (tu < 5) c.bin(CTX_CU_QP_DELTA_ABS + 1, 0);
+    if (a >= 5) {
+      int v = a - 5, k = 0;
+      while (v >= (1 << k)) { c.bypass(1); v -= 1 << k; k++; }
+      c.bypass(0);
+      for (int i = k - 1; i >= 0; i--) c.bypass((v >> i) & 1);
+    }
+    c.bypass(d < 0 ? 1 : 0);
   }
 
   void quadtree(int x0, int y0, int log2) {
@@ -478,6 +514,7 @@ struct SliceEnc {
       for (int p = 0; p < 4; p++) {
         bool cbf_l = cbf4[(puy[p] / 4) * w4 + pux[p] / 4] != 0;
         c.bin(CTX_CBF_LUMA, cbf_l ? 1 : 0);  // trafoDepth 1 -> ctx 0
+        if (cbf_l || (p == 3 && (cb || cr))) maybe_code_delta();
         if (cbf_l) residual(pux[p], puy[p], 2, 0, pmodes[p]);
       }
       if (cb) residual(x0 / 2, y0 / 2, 2, 1, cmode);
@@ -526,6 +563,7 @@ struct SliceEnc {
         int px = x0 + (p % 2) * 4, py = y0 + (p / 2) * 4;
         bool cbf_l = cbf4[(py / 4) * w4 + px / 4] != 0;
         c.bin(CTX_CBF_LUMA, cbf_l ? 1 : 0);
+        if (cbf_l || (p == 3 && (cb || cr))) maybe_code_delta();
         if (cbf_l) residual(px, py, 2, 0, mode);
       }
       if (cb) residual(x0 / 2, y0 / 2, 2, 1, cmode);
@@ -534,6 +572,7 @@ struct SliceEnc {
     }
     bool cbf_l = cbf[0][(y0 / 8) * w8 + x0 / 8] != 0;
     c.bin(CTX_CBF_LUMA + (depth == 0 ? 1 : 0), cbf_l ? 1 : 0);
+    if (cbf_l || (code_chroma && (cb || cr))) maybe_code_delta();
     if (cbf_l) residual(x0, y0, log2, 0, mode);
     if (code_chroma) {
       if (cb) residual(x0 / 2, y0 / 2, log2 - 1, 1, cmode);
@@ -750,6 +789,7 @@ int encode_slice_data(int width, int height, int qp, const int32_t* depth8,
                       const int32_t* sao_merge, int sbh, const int32_t* tusz8, int max_tu_depth,
                       int transform_skip, const uint8_t* ts4,
                       const uint8_t* ts8_u, const uint8_t* ts8_v,
+                      const int32_t* qp_ctu,
                       uint8_t* out, int out_cap) {
   SliceEnc enc(width, height, qp, depth8, mode4, csel8, cbf_y, cbf_u, cbf_v,
                levels_y, levels_u, levels_v);
@@ -767,7 +807,9 @@ int encode_slice_data(int width, int height, int qp, const int32_t* depth8,
   enc.sao_off = sao_off;
   enc.sao_merge = sao_merge;
   enc.sbh = sbh != 0;
+  enc.qp_ctu = qp_ctu;
   enc.encode();
+  if (enc.qp_error) return -2;
   int n = static_cast<int>(enc.bw.bytes.size());
   if (n > out_cap) return -1;
   std::memcpy(out, enc.bw.bytes.data(), n);

@@ -721,8 +721,9 @@ def _zorder_avail_np(oy: int, ox: int, n: int, span: int) -> np.ndarray:
 
 
 def _tu_step_dyn(ext, levels, orig, mode, fire, oy, ox, n: int, qp, av_z, *,
-                 is_luma, ctu_yx, frame_hw, span: int, rdoq_lam: float = 0.0,
-                 sbh: bool = False, dst: bool = False, ts_lam: float = 0.0):
+                 is_luma, ctu_yx, frame_hw, span: int, rdoq_lam=0.0,
+                 sbh: bool = False, dst: bool = False, ts_lam=0.0,
+                 rate_qp: int | None = None):
     """One masked TU at traced origin (oy, ox): predict -> transform ->
     quant -> dequant -> reconstruct, as dynamic slices + MXU matmuls.
 
@@ -758,12 +759,20 @@ def _tu_step_dyn(ext, levels, orig, mode, fire, oy, ox, n: int, qp, av_z, *,
     log2 = int(np.log2(n))
     coef = transforms.forward_transform(res, log2, dst=dst)
     scan_tu = quant.scan_sel(mode, log2, is_luma)
-    if rdoq_lam > 0.0:
-        lvl = quant.quantize_rdoq(coef, log2, qp, rdoq_lam, scan=scan_tu)
+    # per-CTU QP (cu_qp_delta): qp/rdoq_lam/ts_lam may be [BA] arrays;
+    # rate tables stay at the static slice QP (contexts init at SliceQpY).
+    vec_qp = not isinstance(qp, (int, np.integer))
+    rq = rate_qp if vec_qp else (qp if rate_qp is None else rate_qp)
+    # a scalar 0.0 λ disables the trial (callers pass arrays only when on)
+    rdoq_on = not (isinstance(rdoq_lam, (int, float)) and rdoq_lam == 0.0)
+    ts_on = not (isinstance(ts_lam, (int, float)) and ts_lam == 0.0)
+    if rdoq_on:
+        lvl = quant.quantize_rdoq(coef, log2, qp, rdoq_lam, scan=scan_tu,
+                                  rate_qp=rq)
     else:
         lvl = quant.quantize(coef, log2, qp)
     use_ts = jnp.zeros((ba,), bool)
-    if ts_lam > 0.0 and n == 4:
+    if ts_on and n == 4:
         # transform-skip trial (TComTrQuant xTransformSkip + the RD trial
         # loop TEncSearch.cpp:1519-1549): the scaled residual quantizes in
         # the same dynamic range as the transform, so the two candidates
@@ -771,18 +780,20 @@ def _tu_step_dyn(ext, levels, orig, mode, fire, oy, ox, n: int, qp, av_z, *,
         from hevctpu.ops import rate as _rate
         shift = rom.MAX_TR_DYNAMIC_RANGE - 8 - log2
         coef_s = res * (1 << shift)
-        if rdoq_lam > 0.0:
+        if rdoq_on:
             lvl_s = quant.quantize_rdoq(coef_s, log2, qp, rdoq_lam,
-                                        scan=scan_tu)
+                                        scan=scan_tu, rate_qp=rq)
         else:
             lvl_s = quant.quantize(coef_s, log2, qp)
         dscale = 4.0 ** (log2 - 7)
         lam_u = ts_lam / _rate.BITS_ONE
+        if not isinstance(lam_u, float):
+            lam_u = jnp.asarray(lam_u)
 
         def j_cost(lv, cf):
             err = (cf - quant.dequantize(lv, log2, qp)).astype(jnp.float32)
             d = jnp.sum(err * err, axis=(-2, -1)) * dscale
-            return d + lam_u * _rate.estimate_tu_bits(lv, log2, qp).astype(
+            return d + lam_u * _rate.estimate_tu_bits(lv, log2, rq).astype(
                 jnp.float32)
 
         use_ts = j_cost(lvl_s, coef_s) < j_cost(lvl, coef)
@@ -793,7 +804,7 @@ def _tu_step_dyn(ext, levels, orig, mode, fire, oy, ox, n: int, qp, av_z, *,
     cbf = jnp.any(lvl != 0, axis=(-2, -1))
     deq = quant.dequantize(lvl, log2, qp)
     rinv_t = transforms.inverse_transform(deq, log2, dst=dst)
-    if ts_lam > 0.0 and n == 4:
+    if ts_on and n == 4:
         shift = rom.MAX_TR_DYNAMIC_RANGE - 8 - log2
         rinv_s = (deq + (1 << (shift - 1))) >> shift
         rinv = jnp.where(use_ts[:, None, None], rinv_s, rinv_t)
@@ -890,22 +901,37 @@ class FrameEncoder:
         self.rdoq_lam_c = (self.rdoq_lam
                            / rate.chroma_dist_weight(qp, self.qp_c))
         self._encode = jax.jit(self._encode_impl)
+        self._encode_qp = None  # lazily-jitted per-CTU-QP variant
 
     # -- public API --------------------------------------------------------
 
-    def encode(self, y, u, v, labels=None):
+    def encode(self, y, u, v, labels=None, qp_map=None):
         """y [B,H,W], u/v [B,H/2,W/2] uint8/int32; labels [B, rc*cc, 16]
-        (required for search="cnn"). Returns a dict of numpy arrays."""
+        (required for search="cnn"). qp_map [B, rc, cc] optional per-CTU
+        absolute QPs (cu_qp_delta / LCU-level rate control,
+        TEncRateCtrl.cpp:845): quantization, λ and deblocking follow the
+        map; the returned dict carries the inheritance-consistent
+        effective map as "qp_ctu" for the entropy coder. Returns a dict
+        of numpy arrays."""
         if labels is None:
             assert self.search == "rd", "cnn search needs labels"
             labels = np.zeros((np.shape(y)[0], self.geom.rc * self.geom.cc,
                                16), np.int8)
         # ship 8-bit across the (slow) host->device link; the jitted
         # program upcasts on device.
-        out = self._encode(jnp.asarray(np.asarray(y, np.uint8)),
-                           jnp.asarray(np.asarray(u, np.uint8)),
-                           jnp.asarray(np.asarray(v, np.uint8)),
-                           jnp.asarray(np.asarray(labels, np.int8)))
+        args = [jnp.asarray(np.asarray(y, np.uint8)),
+                jnp.asarray(np.asarray(u, np.uint8)),
+                jnp.asarray(np.asarray(v, np.uint8)),
+                jnp.asarray(np.asarray(labels, np.int8))]
+        if qp_map is None:
+            out = self._encode(*args)
+        else:
+            if self._encode_qp is None:
+                self._encode_qp = jax.jit(functools.partial(
+                    lambda s, yy, uu, vv, ll, qq: s._encode_impl(
+                        yy, uu, vv, ll, qp_map=qq), self))
+            out = self._encode_qp(
+                *args, jnp.asarray(np.asarray(qp_map, np.uint8)))
         out = {k: np.asarray(val) for k, val in out.items()}
         # record coder-affecting settings so encode_stream can refuse a
         # mismatched StreamConfig (hidden signs decode silently wrong).
@@ -1008,15 +1034,19 @@ class FrameEncoder:
 
     # -- implementation ----------------------------------------------------
 
-    def _encode_impl(self, y, u, v, labels):
+    def _encode_impl(self, y, u, v, labels, qp_map=None):
         g = self.geom
         y, u, v = (a.astype(jnp.int32) for a in (y, u, v))
         labels = labels.astype(jnp.int32)
         yp = pad_plane(y, g.hp, g.wp)
         up = pad_plane(u, g.hp // 2, g.wp // 2)
         vp = pad_plane(v, g.hp // 2, g.wp // 2)
+        if qp_map is not None:
+            assert self.shard_cfg is None, \
+                "per-CTU QP maps are not supported under tile sharding yet"
+            qp_map = qp_map.astype(jnp.int32)
 
-        rec_fn = self._reconstruct
+        rec_fn = functools.partial(self._reconstruct, qp_map=qp_map)
         if self.shard_cfg is not None:
             from jax.experimental.shard_map import shard_map
             from jax.sharding import PartitionSpec as _P
@@ -1062,6 +1092,30 @@ class FrameEncoder:
                      to_blocked(dec["tusz_frame"], 8),
                      dec["coded8"],
                      to_blocked(dec["mode4_frame"], 16))
+        if qp_map is not None:
+            # Effective wire QP map: a CTU with no coded cbf signals no
+            # delta, so its QP IS the predicted (previous effective) QP —
+            # a "last CTU with residual wins" scan in raster order
+            # (8.6.1 qPY_PREV semantics for QG == CTB). Deblocking and
+            # the entropy coder must see this map, not the desired one.
+            def pool_ctu(x, s):
+                return x.reshape(x.shape[0], g.rc, s, g.cc, s).any(
+                    axis=(2, 4))
+
+            any_c = (pool_ctu(out["cbf_y"], 8) | pool_ctu(out["cbf_u"], 8)
+                     | pool_ctu(out["cbf_v"], 8))
+            if "cbf4_y" in out:
+                any_c = any_c | pool_ctu(out["cbf4_y"], 16)
+            des = qp_map.reshape(qp_map.shape[0], -1)
+            anyf = any_c.reshape(any_c.shape[0], -1)
+
+            def comb(a, c):
+                return (jnp.where(c[1], c[0], a[0]), a[1] | c[1])
+
+            vals, valid = jax.lax.associative_scan(comb, (des, anyf),
+                                                   axis=1)
+            out["qp_ctu"] = jnp.where(valid, vals, self.qp).reshape(
+                qp_map.shape)
         out["depth8"] = from_blocked(dec["depth8"])
         out["coded8"] = from_blocked(dec["coded8"])
         out["mode8"] = dec["mode8_frame"]
@@ -1075,6 +1129,11 @@ class FrameEncoder:
             for k in ("ts4_y", "ts8_u", "ts8_v"):
                 del out[k]
         return self._loop_filters_and_cast(yp, up, vp, out, tusz_frame)
+
+    def _qp_slot_map(self, qp_ctu):
+        """[B, rc, cc] effective CTU QPs -> per-8x8-slot map for the
+        deblocker."""
+        return jnp.repeat(jnp.repeat(qp_ctu, 8, axis=1), 8, axis=2)
 
     def _decide(self, yp, up, vp, labels, bsrc=None):
         """Stage 1: all mode/partition/TU decisions for the batch.
@@ -1210,8 +1269,10 @@ class FrameEncoder:
         fu = pad_plane(out["recon_u"], g.hp // 2, g.wp // 2)
         fv = pad_plane(out["recon_v"], g.hp // 2, g.wp // 2)
         if self.deblock:
+            db_qp = (self._qp_slot_map(out["qp_ctu"]) if "qp_ctu" in out
+                     else self.qp)
             fy, fu, fv = deblock.deblock_frame(
-                fy, fu, fv, tusz_frame, self.qp, g.h, g.w)
+                fy, fu, fv, tusz_frame, db_qp, g.h, g.w)
         if self.sao:
             ys = sao.ctu_stats(yp, fy, g.h, g.w, 64)
             us = sao.ctu_stats(up, fu, g.h // 2, g.w // 2, 32)
@@ -1261,12 +1322,13 @@ class FrameEncoder:
                 "depth8": jnp.int8, "mode8": jnp.int8, "mode4": jnp.int8,
                 "csel8": jnp.int8, "tusz8": jnp.int8, "sao_type": jnp.int8,
                 "sao_eo": jnp.int8, "sao_bp": jnp.int8, "sao_off": jnp.int8,
-                "sao_merge": jnp.int8}
+                "sao_merge": jnp.int8, "qp_ctu": jnp.int8}
         return {k: (v.astype(cast[k]) if k in cast else v)
                 for k, v in out.items()}
 
     def _reconstruct(self, yp, up, vp, mode_slot, cmode_slot, tusz_slot,
-                     coded8, mode4_blk, shard: tuple | None = None):
+                     coded8, mode4_blk, shard: tuple | None = None,
+                     qp_map=None):
         """Wavefront reconstruction. shard=(axis_name, tiles) runs the
         SPMD per-tile variant (called under shard_map over CTU-column
         tiles): each instance scans its own tile's wavefront table and
@@ -1375,6 +1437,24 @@ class FrameEncoder:
             ctu_yc2 = jnp.tile((ri * 32).reshape(ba), 2)
             ctu_xc2 = jnp.tile((ci * 32).reshape(ba), 2)
 
+            # per-CTU QP (cu_qp_delta): gather the active CTUs' QPs and
+            # scale the λs by 2^((qp-sliceQP)/3); rate tables stay at the
+            # slice QP (rate_qp below).
+            if qp_map is None:
+                qp_l, qp_c2 = self.qp, self.qp_c
+                rl_y, rl_c = self.rdoq_lam, self.rdoq_lam_c
+                tl_y, tl_c = self.ts_lam, self.ts_lam_c
+            else:
+                qp_l = qp_map[bi, ri, ci].reshape(ba)
+                sc = jnp.exp2((qp_l - self.qp).astype(jnp.float32) / 3.0)
+                qp_c2 = jnp.tile(jnp.asarray(rom.CHROMA_QP_TABLE)[
+                    jnp.clip(qp_l, 0, 57)], 2)
+                sc2 = jnp.tile(sc, 2)
+                rl_y = self.rdoq_lam * sc if self.rdoq_lam else 0.0
+                rl_c = self.rdoq_lam_c * sc2 if self.rdoq_lam_c else 0.0
+                tl_y = self.ts_lam * sc if self.ts_lam else 0.0
+                tl_c = self.ts_lam_c * sc2 if self.ts_lam_c else 0.0
+
             ext_y = make_ext(top_y, left_y, 64)
             ext_c = make_ext(jnp.concatenate([top_u, top_v], axis=0),
                              jnp.concatenate([left_u, left_v], axis=0), 32)
@@ -1402,15 +1482,15 @@ class FrameEncoder:
                 fire_l = fire_l & mk_flat
                 fire2 = jnp.tile(fire_c & mk_flat, 2)
                 ext_y, vy, cbf_l, _ = _tu_step_dyn(
-                    ext_y, vy, oyl, mode, fire_l, oy, ox, size, self.qp, av_z,
+                    ext_y, vy, oyl, mode, fire_l, oy, ox, size, qp_l, av_z,
                     is_luma=True, ctu_yx=(ctu_y, ctu_x), frame_hw=(g.h, g.w),
-                    span=64, rdoq_lam=self.rdoq_lam, sbh=self.sbh)
+                    span=64, rdoq_lam=rl_y, sbh=self.sbh, rate_qp=self.qp)
                 ext_c, vc, cbf_c, ts_c = _tu_step_dyn(
                     ext_c, vc, ouv, jnp.tile(cmode, 2), fire2, oy // 2,
-                    ox // 2, size // 2, self.qp_c, av_zc, is_luma=False,
+                    ox // 2, size // 2, qp_c2, av_zc, is_luma=False,
                     ctu_yx=(ctu_yc2, ctu_xc2), frame_hw=(g.h // 2, g.w // 2),
-                    span=32, rdoq_lam=self.rdoq_lam_c, sbh=self.sbh,
-                    ts_lam=self.ts_lam_c)
+                    span=32, rdoq_lam=rl_c, sbh=self.sbh,
+                    ts_lam=tl_c, rate_qp=self.qp_c)
                 cy8 = jax.lax.dynamic_update_slice(
                     cy8, jnp.where(fire_l, cbf_l,
                                    pick(cy8, sy, sx))[:, None, None],
@@ -1431,10 +1511,10 @@ class FrameEncoder:
                 ext_y, ext_c, vy, vc, cy8, cc8, cy4, ty4, tc8 = st
                 fire = fire & mk_flat
                 ext_y, vy, cbf_l, ts_l = _tu_step_dyn(
-                    ext_y, vy, oyl, mode, fire, oy, ox, 4, self.qp, av_z,
+                    ext_y, vy, oyl, mode, fire, oy, ox, 4, qp_l, av_z,
                     is_luma=True, ctu_yx=(ctu_y, ctu_x), frame_hw=(g.h, g.w),
-                    span=64, rdoq_lam=self.rdoq_lam, sbh=self.sbh, dst=True,
-                    ts_lam=self.ts_lam)
+                    span=64, rdoq_lam=rl_y, sbh=self.sbh, dst=True,
+                    ts_lam=tl_y, rate_qp=self.qp)
                 cy4 = jax.lax.dynamic_update_slice(
                     cy4, jnp.where(fire, cbf_l,
                                    pick(cy4, s4y, s4x))[:, None, None],

@@ -45,6 +45,24 @@ BETA_RANGE = (-3.0, -0.1)
 LAMBDA_RANGE = (0.1, 10000.0)
 
 
+@functools.partial(jax.jit, static_argnames=("rcn", "ccn"))
+def _satd8_ctu(y: jnp.ndarray, rcn: int, ccn: int) -> jnp.ndarray:
+    """[H, W] luma -> [rcn, ccn] per-CTU SATD complexity (the 8×8
+    Hadamard magnitudes of _satd8_frame pooled per 64×64 CTU; edge CTUs
+    zero-pad, matching HM's calCostSliceI accumulation per LCU)."""
+    h, w = y.shape[-2:]
+    hp, wp = rcn * 64, ccn * 64
+    yp = jnp.pad(y, ((0, hp - h), (0, wp - w)))
+    h8 = np.array([[1]], np.float32)
+    for _ in range(3):
+        h8 = np.block([[h8, h8], [h8, -h8]])
+    hm = jnp.asarray(h8)
+    blk = yp.reshape(hp // 8, 8, wp // 8, 8).swapaxes(1, 2)
+    t = jnp.einsum("ij,...jk,kl->...il", hm, blk.astype(jnp.float32), hm)
+    mag = (jnp.abs(t).sum(axis=(-2, -1)) - jnp.abs(t[..., 0, 0])) / 8.0
+    return mag.reshape(rcn, 8, ccn, 8).sum(axis=(1, 3))
+
+
 @functools.partial(jax.jit, static_argnames=())
 def _satd8_frame(y: jnp.ndarray) -> jnp.ndarray:
     """Sum of 8×8 Hadamard-transform magnitudes over the frame [H, W]
@@ -128,6 +146,34 @@ class RateController:
         qp = min(max(qp, 0), 51)
         self._pending = (qp, lam, t)
         return qp, lam
+
+    def lcu_qp_map(self, y) -> np.ndarray:
+        """Per-CTU QP allocation for the pending picture — HM's LCU-level
+        R-λ (TEncRCPic::getLCUTargetBpp intra bit share by SATD cost,
+        getLCUEstLambda/getLCUEstQP, TEncRateCtrl.cpp:845-940) restated as
+        one dense map: bits_i = T·satd_i/Σsatd, λ_i = α·bpp_i^β clipped
+        around the picture λ, QP_i = 4.2005·lnλ + 13.7122 clipped to
+        picture QP ± 2. Call between start_picture and update; encode
+        with FrameEncoder.encode(..., qp_map=map[None]) under a
+        cu_qp_delta StreamConfig."""
+        assert self._pending is not None, "start_picture not called"
+        pic_qp, pic_lam, t = self._pending
+        y = np.asarray(y)
+        h, w = y.shape[-2:]
+        rcn, ccn = -(-h // 64), -(-w // 64)
+        satd = np.asarray(_satd8_ctu(jnp.asarray(y, jnp.int32),
+                                     rcn, ccn))
+        ys = np.minimum(np.arange(rcn) * 64 + 64, h) - np.arange(rcn) * 64
+        xs = np.minimum(np.arange(ccn) * 64 + 64, w) - np.arange(ccn) * 64
+        pix = ys[:, None] * xs[None, :]
+        share = satd / max(float(satd.sum()), 1e-9)
+        bpp = np.maximum(t * share / pix, 1e-8)
+        lam = self.alpha * bpp ** self.beta
+        # HM bounds the LCU λ within ~2x of the picture λ and the QP to ±2
+        lam = np.clip(lam, pic_lam / 4.0, pic_lam * 4.0)
+        qp = np.rint(4.2005 * np.log(lam) + 13.7122)
+        qp = np.clip(qp, pic_qp - 2, pic_qp + 2)
+        return np.clip(qp, 0, 51).astype(np.int32)
 
     def update(self, actual_bits: int):
         assert self._pending is not None, "start_picture not called"

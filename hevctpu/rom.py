@@ -301,6 +301,9 @@ CTX_INIT = {
     "prev_intra_luma_pred": [[184], [154], [183]],
     "intra_chroma_pred_mode": [[63, 139], [152, 139], [152, 139]],
     "split_transform_flag": [[153, 138, 138], [124, 138, 94], [224, 167, 122]],
+    # TU-prefix bins of cu_qp_delta_abs (HM INIT_DELTA_QP: CNU for all
+    # slice types; ctx 0 = first bin, ctx 1 = bins 1..4)
+    "cu_qp_delta_abs": [[CNU, CNU], [CNU, CNU], [CNU, CNU]],
     # [luma, chroma] (HM INIT_TRANSFORMSKIP_FLAG)
     "transform_skip": [[139, 139], [139, 139], [139, 139]],
     "cbf_luma": [[111, 141, CNU, CNU, CNU],
