@@ -33,6 +33,18 @@ class ContextSet:
     def __call__(self, name: str, idx: int = 0) -> ContextModel:
         return self._ctx[name][idx]
 
+    def snapshot(self) -> dict:
+        """Copy of all (state, mps) pairs — the WPP context storage
+        process (9.3.2.3, HM m_entropyCodingSyncContextState)."""
+        return {name: [(m.state, m.mps) for m in models]
+                for name, models in self._ctx.items()}
+
+    def restore(self, snap: dict):
+        """Load a snapshot (9.3.2.2 sync from the row above's 2nd CTU)."""
+        for name, models in self._ctx.items():
+            for m, (s, mps) in zip(models, snap[name]):
+                m.state, m.mps = s, mps
+
 
 class CabacEncoder:
     """Spec 9.3.4.3 arithmetic encoder writing into a BitWriter."""

@@ -91,8 +91,10 @@ class Decoder:
             max_tu_depth_intra=self.sps["max_tu_depth_intra"],
             transform_skip=self.pps["transform_skip"],
             sao=self.sps["sao"],
-            cu_qp_delta=bool(self.pps.get("cu_qp_delta")))
-        sd = SliceDecoder(cfg, rbsp, sh["data_offset"]).decode()
+            cu_qp_delta=bool(self.pps.get("cu_qp_delta")),
+            wpp=bool(self.pps.get("wpp")))
+        sd = SliceDecoder(cfg, rbsp, sh["data_offset"],
+                          entry_points=sh.get("entry_points")).decode()
 
         hp, wp = sd.rc * 64, sd.cc * 64
         planes = {0: np.zeros((hp, wp), np.int32),
@@ -145,7 +147,7 @@ def encode_frame_nals(cfg: headers.StreamConfig, fr: dict,
     from hevctpu.codec.syntax import SliceEncoder
 
     if use_native is None:
-        use_native = native.available()
+        use_native = native.available() and not cfg.wpp
     # Config/frame consistency guards raise ValueError (not assert): a
     # mismatch here produces a stream that decodes silently wrong, so the
     # check must survive `python -O`.

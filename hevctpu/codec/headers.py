@@ -45,6 +45,12 @@ class StreamConfig:
     # deltas (LCU-level rate control, TEncRateCtrl.cpp:845). Only
     # diff_cu_qp_delta_depth = 0 is emitted (QG == CTB).
     cu_qp_delta: bool = False
+    # entropy_coding_sync_enabled_flag (WPP, 7.4.3.3.2): one CABAC
+    # substream per CTU row, contexts synced from the row above's second
+    # CTU (9.3.1), entry-point offsets in the slice header (7.3.6.1) —
+    # the bitstream form of the encoder's wavefront (TEncSlice.cpp:
+    # 1118-1141).
+    wpp: bool = False
 
 
 def _profile_tier_level(bw: BitWriter):
@@ -154,7 +160,7 @@ def write_pps(cfg: StreamConfig) -> bytes:
     bw.flag(0)            # weighted_bipred_flag
     bw.flag(0)            # transquant_bypass_enabled_flag
     bw.flag(0)            # tiles_enabled_flag
-    bw.flag(0)            # entropy_coding_sync_enabled_flag
+    bw.flag(1 if cfg.wpp else 0)  # entropy_coding_sync_enabled_flag
     bw.flag(1)            # pps_loop_filter_across_slices_enabled_flag
     bw.flag(1)            # deblocking_filter_control_present_flag
     bw.flag(0)            # deblocking_filter_override_enabled_flag
@@ -283,8 +289,13 @@ def parse_hash_sei(rbsp: bytes):
     return name, [bytes(br.u(8) for _ in range(n)) for _ in range(3)]
 
 
-def write_slice_header(cfg: StreamConfig) -> BitWriter:
-    """IDR I-slice header; returns the writer so CABAC data can follow."""
+def write_slice_header(cfg: StreamConfig,
+                       entry_points: list | None = None) -> BitWriter:
+    """IDR I-slice header; returns the writer so CABAC data can follow.
+
+    entry_points: post-emulation-prevention byte sizes of all WPP
+    substreams except the last (7.3.6.1 num_entry_point_offsets;
+    TEncCavlc::codeTilesWPPEntryPoint) — required when cfg.wpp."""
     bw = BitWriter()
     bw.flag(1)            # first_slice_segment_in_pic_flag
     bw.flag(0)            # no_output_of_prior_pics_flag (IRAP)
@@ -300,6 +311,14 @@ def write_slice_header(cfg: StreamConfig) -> BitWriter:
     # and any in-loop filter is active for this slice.
     if cfg.deblock or cfg.sao:
         bw.flag(1)        # slice_loop_filter_across_slices_enabled_flag
+    if cfg.wpp:
+        eps = entry_points or []
+        bw.ue(len(eps))   # num_entry_point_offsets
+        if eps:
+            ol = max(1, max(e - 1 for e in eps).bit_length())
+            bw.ue(ol - 1)  # offset_len_minus1
+            for e in eps:
+                bw.u(e - 1, ol)  # entry_point_offset_minus1
     bw.u(1, 1)            # byte_alignment: alignment_bit_equal_to_one
     bw.align_zero()
     return bw
@@ -425,7 +444,6 @@ def parse_pps(rbsp: bytes) -> dict:
     _req(not br.flag(), "transquant bypass unsupported")
     _req(not br.flag(), "tiles unsupported")
     pps["wpp"] = br.flag()
-    _req(not pps["wpp"], "WPP unsupported")
     pps["loop_filter_across_slices"] = br.flag()
     if br.flag():  # deblocking control present
         pps["deblock_override"] = br.flag()
@@ -481,6 +499,13 @@ def parse_slice_header(rbsp: bytes, sps: dict, pps: dict, nal_type: int):
             sh.get("sao_luma") or sh.get("sao_chroma")
             or not pps["deblock_disabled"]):
         sh["loop_filter_across_slices"] = br.flag()
+    if pps.get("wpp"):
+        n_ep = br.ue()
+        eps = []
+        if n_ep:
+            ol = br.ue() + 1
+            eps = [br.u(ol) + 1 for _ in range(n_ep)]
+        sh["entry_points"] = eps
     # byte alignment
     _req(br.u(1) == 1, "bad slice-header byte alignment")
     while not br.byte_aligned():

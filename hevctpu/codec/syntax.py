@@ -169,6 +169,8 @@ class SliceEncoder(_Walker):
                            else np.full((self.rc, self.cc), cfg.qp))
 
     def encode(self) -> bytes:
+        if self.cfg.wpp:
+            return self._encode_wpp()
         bw = headers.write_slice_header(self.cfg)
         self.ctx = ContextSet(self.cfg.qp, init_type=0)
         self.c = CabacEncoder(bw)
@@ -176,24 +178,66 @@ class SliceEncoder(_Walker):
         self._qp_pred = self.cfg.qp
         for a in range(n_ctu):
             r, c = divmod(a, self.cc)
-            if self.sao is not None:
-                self._sao_params(r, c)
-            self._qp_coded = False
-            if self.qp_ctu is not None:
-                self._qp_target = int(self.qp_ctu[r, c])
-            self._quadtree(64 * c, 64 * r, 6)
-            if self.qp_ctu is not None:
-                if not self._qp_coded and self._qp_target != self._qp_pred:
-                    raise ValueError(
-                        f"CTU ({r},{c}) codes no cbf but qp_ctu "
-                        f"{self._qp_target} != predicted {self._qp_pred} — "
-                        "the map must inherit where no delta is signaled")
-                self._qp_pred = self._qp_target
+            self._code_ctu(r, c)
             self.c.encode_terminate(1 if a == n_ctu - 1 else 0)
         # terminate(1) flushed the engine, and the flush's final written bit
         # is the rbsp_stop_one_bit (9.3.4.3.5 note); only zero-align remains.
         bw.align_zero()
         return bw.data()
+
+    def _code_ctu(self, r, c):
+        if self.sao is not None:
+            self._sao_params(r, c)
+        self._qp_coded = False
+        if self.qp_ctu is not None:
+            self._qp_target = int(self.qp_ctu[r, c])
+        self._quadtree(64 * c, 64 * r, 6)
+        if self.qp_ctu is not None:
+            if not self._qp_coded and self._qp_target != self._qp_pred:
+                raise ValueError(
+                    f"CTU ({r},{c}) codes no cbf but qp_ctu "
+                    f"{self._qp_target} != predicted {self._qp_pred} — "
+                    "the map must inherit where no delta is signaled")
+            self._qp_pred = self._qp_target
+
+    def _encode_wpp(self) -> bytes:
+        """WPP slice (entropy_coding_sync, 7.3.8.1): one CABAC substream
+        per CTU row. Contexts of row r>0 start from the snapshot taken
+        after row r-1's SECOND CTU (9.3.1 storage/sync; HM
+        m_entropyCodingSyncContextState, TEncSlice.cpp:1118-1141); each
+        non-final row ends with end_of_slice_segment_flag=0 +
+        end_of_subset_one_bit=1 + byte alignment, and the slice header
+        carries the substreams' post-emulation-prevention byte sizes as
+        entry points (TEncCavlc::codeTilesWPPEntryPoint)."""
+        from hevctpu.codec import bitio
+
+        subs = []
+        snap = None
+        for r in range(self.rc):
+            bw = bitio.BitWriter()
+            self.ctx = ContextSet(self.cfg.qp, init_type=0)
+            if r > 0 and self.cc > 1 and snap is not None:
+                self.ctx.restore(snap)  # top-right CTU available (9.3.1)
+            self.c = CabacEncoder(bw)
+            # 8.6.1: the first QG of a WPP CTU row predicts from SliceQpY
+            self._qp_pred = self.cfg.qp
+            for c in range(self.cc):
+                self._code_ctu(r, c)
+                if c == 1:
+                    snap = self.ctx.snapshot()
+                last = r == self.rc - 1 and c == self.cc - 1
+                self.c.encode_terminate(1 if last else 0)
+            if r != self.rc - 1:
+                self.c.encode_terminate(1)  # end_of_subset_one_bit
+            bw.align_zero()
+            subs.append(bw.data())
+        # entry points: post-EP sizes of all substreams but the last;
+        # substreams end in a nonzero byte (CABAC stop bit), so the
+        # emulation-prevention zero-run never crosses a boundary and the
+        # per-substream counts compose exactly.
+        eps = [len(bitio.rbsp_to_ebsp(s)) for s in subs[:-1]]
+        hdr = headers.write_slice_header(self.cfg, eps)
+        return hdr.data() + b"".join(subs)
 
     def _maybe_code_delta(self):
         """cu_qp_delta_abs/sign at the first cbf-carrying transform_unit
@@ -573,10 +617,12 @@ class SliceDecoder(_Walker):
     bitstream is self-consistent (and by tests against HM-class decoders).
     """
 
-    def __init__(self, cfg, rbsp: bytes, data_offset: int):
+    def __init__(self, cfg, rbsp: bytes, data_offset: int,
+                 entry_points: list | None = None):
         super().__init__(cfg)
         self.rbsp = rbsp
         self.offset = data_offset
+        self.entry_points = entry_points  # WPP substream post-EP sizes
         h8, w8 = self.rc * 8, self.cc * 8
         self.depth8 = np.zeros((h8, w8), np.int32)
         self.coded8 = np.zeros((h8, w8), bool)
@@ -606,22 +652,84 @@ class SliceDecoder(_Walker):
                 "off": np.zeros((self.rc, self.cc, 3, 4), np.int32)}
 
     def decode(self):
+        if self.cfg.wpp:
+            return self._decode_wpp()
         self.ctx = ContextSet(self.cfg.qp, init_type=0)
         self.c = CabacDecoder(self.rbsp, self.offset)
         n_ctu = self.rc * self.cc
         self._qp_pred = self.cfg.qp
         for a in range(n_ctu):
             r, c = divmod(a, self.cc)
-            if self.sao is not None:
-                self._sao_params(r, c)
-            self._qp_coded = False
-            self._qp_cur = self._qp_pred
-            self._quadtree(64 * c, 64 * r, 6)
-            if self.cfg.cu_qp_delta:
-                self.qp_ctu[r, c] = self._qp_cur
-                self._qp_pred = self._qp_cur
+            self._decode_ctu(r, c)
             end = self.c.decode_terminate()
             assert end == (1 if a == n_ctu - 1 else 0), (a, end)
+        return self
+
+    def _decode_ctu(self, r, c):
+        if self.sao is not None:
+            self._sao_params(r, c)
+        self._qp_coded = False
+        self._qp_cur = self._qp_pred
+        self._quadtree(64 * c, 64 * r, 6)
+        if self.cfg.cu_qp_delta:
+            self.qp_ctu[r, c] = self._qp_cur
+            self._qp_pred = self._qp_cur
+
+    @staticmethod
+    def _substream_rbsp_len(rbsp: bytes, start: int, ep_size: int) -> int:
+        """Map one substream's entry-point size (post-emulation-prevention
+        bytes, 7.4.7.1) back to its de-escaped RBSP length from `start`
+        (the TAppDecoder entry-point adjustment role)."""
+        zeros = 0
+        out = 0
+        i = start
+        while out < ep_size and i < len(rbsp):
+            b = rbsp[i]
+            if zeros >= 2 and b <= 3:
+                out += 1  # the emulation_prevention_three_byte
+                zeros = 0
+            out += 1
+            zeros = zeros + 1 if b == 0 else 0
+            i += 1
+        from hevctpu.codec import headers as _h
+        if out != ep_size:
+            raise _h.DecodeError(
+                f"entry point offset {ep_size} overruns the slice data")
+        return i - start
+
+    def _decode_wpp(self):
+        """Mirror of SliceEncoder._encode_wpp: per-row substreams at the
+        entry-point offsets, contexts synced from the row above's second
+        CTU (9.3.1)."""
+        from hevctpu.codec import headers as _h
+
+        eps = self.entry_points or []
+        if self.rc > 1 and len(eps) != self.rc - 1:
+            raise _h.DecodeError(
+                f"WPP slice has {len(eps)} entry points for "
+                f"{self.rc} CTU rows")
+        pos = self.offset
+        snap = None
+        for r in range(self.rc):
+            self.ctx = ContextSet(self.cfg.qp, init_type=0)
+            if r > 0 and self.cc > 1 and snap is not None:
+                self.ctx.restore(snap)
+            self.c = CabacDecoder(self.rbsp, pos)
+            self._qp_pred = self.cfg.qp
+            for c in range(self.cc):
+                self._decode_ctu(r, c)
+                if c == 1:
+                    snap = self.ctx.snapshot()
+                last = r == self.rc - 1 and c == self.cc - 1
+                end = self.c.decode_terminate()
+                if end != (1 if last else 0):
+                    raise _h.DecodeError(
+                        f"bad end_of_slice_segment_flag at CTU ({r},{c})")
+            if r != self.rc - 1:
+                if self.c.decode_terminate() != 1:
+                    raise _h.DecodeError(
+                        f"missing end_of_subset_one_bit after row {r}")
+                pos += self._substream_rbsp_len(self.rbsp, pos, eps[r])
         return self
 
     def _maybe_decode_delta(self):

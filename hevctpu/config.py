@@ -52,6 +52,7 @@ class EncoderConfig:
     batch: int = 4                    # frames per device step
     target_kbps: float = 0.0          # >0 enables R-lambda rate control
     lcu_rc: bool = False              # LCU-level R-lambda (cu_qp_delta)
+    wpp: bool = False                 # entropy_coding_sync (WPP) substreams
     adaptive_qp: bool = False         # TM5-step-3 preanalysis QP offset
     hash_type: str = "md5"            # DecodedPictureHashSEI type
     rate_model: str = "ctx"           # search rate estimator: ctx | global
@@ -88,7 +89,8 @@ class EncoderConfig:
             transform_skip=self.transform_skip,
             deblock=self.deblock, sao=self.sao,
             hash_type=self.hash_type,
-            cu_qp_delta=self.lcu_rc and self.target_kbps > 0)
+            cu_qp_delta=self.lcu_rc and self.target_kbps > 0,
+            wpp=self.wpp)
 
     def encoder_kwargs(self) -> dict:
         """Keyword arguments for FrameEncoder(h, w, qp, **kwargs)."""
@@ -153,6 +155,8 @@ OPTION_MAP = {
     "TargetKbps": ("target_kbps", float),
     # HM's LCULevelRateControl (TEncRateCtrl.cpp:845 getLCUEstLambda)
     "LCULevelRateControl": ("lcu_rc", _to_bool),
+    # HM's WaveFrontSynchro (entropy_coding_sync_enabled_flag)
+    "WaveFrontSynchro": ("wpp", _to_bool),
     "AdaptiveQP": ("adaptive_qp", _to_bool),
     # DecodedPictureHash SEI type: HM signals 1=MD5 via DecodedPictureHash
     # (TAppEncCfg); we take the name directly.

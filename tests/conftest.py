@@ -72,8 +72,16 @@ _SLOW_PREDICATES = {
                    and "22" not in n),
     "test_decode_errors.py":
         lambda n: n not in ("test_good_stream_decodes",
-                            "test_wpp_pps_rejected"),
+                            "test_tiles_pps_rejected"),
     "test_convnet2.py": lambda n: n == "test_forward_matches_torch",
+    # fast tier keeps the shared-fixture roundtrip + the pure-host guards;
+    # the extra encoder compiles (constant-map, LCU alloc) are slow
+    "test_wpp.py": lambda n: n not in ("test_wpp_roundtrip",
+                                       "test_wpp_entry_points_parse"),
+    "test_cuqp.py": lambda n: n in (
+        "test_constant_map_matches_scalar_path",
+        "test_lcu_rate_control_allocates",
+        "test_hm_decoder_agrees"),
 }
 
 

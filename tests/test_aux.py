@@ -142,3 +142,31 @@ def test_checkpoint_npz_roundtrip(tmp_path):
     for k in params:
         for kk in params[k]:
             np.testing.assert_array_equal(back[k][kk], params[k][kk])
+
+
+def test_bit_stats_accounts_for_stream():
+    """tools/bit_stats.frame_bit_stats (TComCodingStatistics role): the
+    per-syntax attribution must sum to ~the real slice bits."""
+    import os
+    import sys
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(root, "tools"))
+    import numpy as np
+    from bit_stats import frame_bit_stats
+    from hevctpu.codec import decoder as streamlib
+    from hevctpu.codec import headers
+    from hevctpu.pipeline.encoder import FrameEncoder
+
+    rng = np.random.default_rng(2)
+    h = w = 64
+    y = rng.integers(0, 255, (1, h, w)).astype(np.int32)
+    u = np.full((1, 32, 32), 120, np.int32)
+    v = np.full((1, 32, 32), 140, np.int32)
+    enc = FrameEncoder(h, w, 32, search="rd")
+    out = enc.encode(y, u, v)
+    cfg = headers.StreamConfig(width=w, height=h, qp=32, hash_type="none")
+    stats = frame_bit_stats(cfg, out, 0)
+    est = sum(stats.values())
+    real = len(streamlib.encode_frame_nals(cfg, out)) * 8
+    assert 0.9 * real <= est <= 1.02 * real, (est, real)
+    assert stats.get("sig_coeff_luma", 0) > 0

@@ -66,18 +66,18 @@ def test_slice_before_parameter_sets_rejected(stream):
         Decoder().decode(only_slice)
 
 
-def test_wpp_pps_rejected():
-    """A PPS with entropy_coding_sync (WPP) on must be rejected."""
+def test_tiles_pps_rejected():
+    """A PPS with tiles on must be rejected (WPP now decodes; tiles do
+    not). Flip every bit of a good PPS: any accepted parse never claims
+    tiles, since the tiles_enabled_flag path raises DecodeError."""
     cfg = headers.StreamConfig(width=64, height=64, qp=32)
     good = headers.write_pps(cfg)
-    # entropy_coding_sync_enabled_flag is the bit right before
-    # pps_loop_filter_across_slices; flip it by rewriting the PPS with the
-    # writer's layout: locate via parse round-trip on a bit-flipped copy.
+    rejected = 0
     for bit in range(8 * len(good)):
         bad = bytearray(good)
         bad[bit // 8] ^= 0x80 >> (bit % 8)
         try:
-            pps = headers.parse_pps(bytes(bad))
+            headers.parse_pps(bytes(bad))
         except (headers.DecodeError, IndexError):
-            continue  # rejected — fine
-        assert not pps.get("wpp", False)  # accepted PPS never claims WPP
+            rejected += 1
+    assert rejected > 0  # at least the tiles/transquant/WPP-adjacent bits
