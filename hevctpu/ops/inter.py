@@ -291,3 +291,155 @@ def mvd_bits(mvd: jnp.ndarray) -> jnp.ndarray:
         jnp.where(a == 1, 3,
                   2 + eg1[jnp.clip(a - 2, 0, eg1.shape[0] - 1)] + 1))
     return jnp.sum(per, axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Weighted prediction (TComWeightPrediction.cpp:46-64 sample formulas,
+# WeightPredAnalysis.cpp:351-440 parameter estimation) — the dense
+# restatement of the reference's WP half (SURVEY items WeightPredAnalysis
+# / TComWeightPrediction).
+# ---------------------------------------------------------------------------
+
+
+def wp_acdc(plane: jnp.ndarray):
+    """Per-frame (DC, AC) moments of [B, H, W] samples — the statistics
+    WeightPredAnalysis::xCalcACDCParamSlice caches per picture: DC =
+    the rounded per-sample mean ((Σx + N/2) / N), AC = Σ|x − DC| (the
+    un-normalized absolute-deviation sum), both integer like HM's
+    Int64 accumulation."""
+    x = plane.astype(jnp.int64) if plane.dtype != jnp.int32 else plane
+    s = jnp.sum(x, axis=(-2, -1))
+    n = plane.shape[-2] * plane.shape[-1]
+    dc = (s + n // 2) // n
+    ac = jnp.sum(jnp.abs(x - dc[..., None, None]), axis=(-2, -1))
+    return dc, ac
+
+
+def wp_estimate(cur_dc, cur_ac, ref_dc, ref_ac, *, log2_denom: int = 6,
+                bit_depth: int = 8, chroma: bool = False):
+    """Explicit WP (weight, offset, valid) from current/reference moments
+    — WeightPredAnalysis::xUpdatingWPParameters exactly: weight =
+    round((AC_cur/AC_ref)·2^denom) with the ±16/15 ratio clip, offset =
+    (DC_cur·2^denom − w·DC_ref + round) >> realDenom, luma offset
+    clipped to [−128, 127], chroma offset clipped through the predicted
+    form; valid = |w − 2^denom| < 128 (the range limitation that makes
+    HM decrement the denom)."""
+    cur_dc, cur_ac, ref_dc, ref_ac = (
+        np.asarray(v, np.float64) for v in (cur_dc, cur_ac, ref_dc, ref_ac))
+    rng = 128
+    real_denom = log2_denom + (bit_depth - 8)
+    real_off = 1 << max(real_denom - 1, 0)
+    ratio = np.where(ref_ac == 0, 1.0,
+                     np.clip(cur_ac / np.maximum(ref_ac, 1e-30),
+                             -16.0, 15.0))
+    weight = np.floor(0.5 + ratio * (1 << log2_denom)).astype(np.int64)
+    offset = ((cur_dc.astype(np.int64) << log2_denom)
+              - weight * ref_dc.astype(np.int64)
+              + real_off) >> real_denom if real_denom > 0 else (
+        (cur_dc.astype(np.int64) << log2_denom)
+        - weight * ref_dc.astype(np.int64))
+    if chroma:
+        pred = rng - ((rng * weight) >> log2_denom)
+        delta = np.clip(offset - pred, -4 * rng, 4 * rng - 1)
+        offset = np.clip(delta + pred, -rng, rng - 1)
+    else:
+        offset = np.clip(offset, -rng, rng - 1)
+    valid = np.abs(weight - (1 << log2_denom)) < rng
+    return (weight.astype(np.int32), offset.astype(np.int32),
+            valid.astype(bool))
+
+
+def wp_apply(pred14: jnp.ndarray, weight, offset, *, log2_denom: int = 6,
+             bit_depth: int = 8) -> jnp.ndarray:
+    """Uni-directional weighted sample prediction (8.5.3.3.4.3;
+    TComWeightPrediction::weightUnidir): pred14 are the 14-bit MC
+    intermediates BEFORE the final rounding shift (what xPredInterBlk
+    hands to the weighting stage, i.e. pel<<6 − IF_INTERNAL_OFFS lineage
+    at 8-bit); returns clipped pels."""
+    shift_num = max(2, _PREC - bit_depth)
+    shift = log2_denom + shift_num
+    rnd = 1 << (shift - 1) if shift > 0 else 0
+    maxv = (1 << bit_depth) - 1
+    w = jnp.asarray(weight)
+    o = jnp.asarray(offset)
+    out = ((w * (pred14 + _OFFS) + rnd) >> shift) + o
+    return jnp.clip(out, 0, maxv)
+
+
+def wp_apply_bi(pred14_0: jnp.ndarray, pred14_1: jnp.ndarray, w0, o0, w1,
+                o1, *, log2_denom: int = 6,
+                bit_depth: int = 8) -> jnp.ndarray:
+    """Bi-directional weighted sample prediction
+    (TComWeightPrediction::weightBidir)."""
+    shift_num = max(2, _PREC - bit_depth)
+    shift = log2_denom + shift_num + 1
+    rnd = 1 << (shift - 1) if shift > 0 else 0
+    maxv = (1 << bit_depth) - 1
+    w0, o0, w1, o1 = (jnp.asarray(v) for v in (w0, o0, w1, o1))
+    # weightBidir: (w0*(P0+OFFS) + w1*(P1+OFFS) + round + (offset <<
+    # (shift-1))) >> shift with offset = (o0 + o1 + 1) >> 1
+    off = (o0 + o1 + 1) >> 1
+    out = (w0 * (pred14_0 + _OFFS) + w1 * (pred14_1 + _OFFS)
+           + rnd + (off << (shift - 1))) >> shift
+    return jnp.clip(out, 0, maxv)
+
+
+def wp_select(cur: jnp.ndarray, ref: jnp.ndarray, weight, offset, *,
+              log2_denom: int = 6) -> jnp.ndarray:
+    """Per-frame WP on/off decision (WeightPredAnalysis::xSelectWP): use
+    explicit weighting iff SAD(cur, weighted ref) < SAD(cur, ref) with
+    the zero-MV alignment HM's fast check uses. cur/ref [B, H, W] pels;
+    returns bool [B]."""
+    # lift pels to the 14-bit intermediate domain the weighting stage
+    # sees (pel << headroom, re-centered by -IF_INTERNAL_OFFS)
+    p14 = (ref << _HEADROOM) - _OFFS
+    wref = wp_apply(p14, weight, offset, log2_denom=log2_denom)
+    sad_w = jnp.sum(jnp.abs(cur - wref), axis=(-2, -1))
+    sad_0 = jnp.sum(jnp.abs(cur - ref), axis=(-2, -1))
+    return sad_w < sad_0
+
+
+# ---------------------------------------------------------------------------
+# Merge candidate derivation (8.5.3.2.3; TComDataCU::getInterMergeCandidates)
+# on the dense block grid — the TComMotionInfo role is carried by the
+# dense MV planes themselves ([B, R, C, 2] quarter-pel fields).
+# ---------------------------------------------------------------------------
+
+
+def merge_candidates(mv_field: jnp.ndarray):
+    """Spatial merge candidates per grid block from a dense MV field
+    [B, R, C, 2]: the A1 (left), B1 (above), B0 (above-right), A0
+    (below-left), B2 (above-left) positions with the spec's pairwise
+    pruning (B1 vs A1, B0 vs B1, A0 vs A1; B2 only when fewer than four
+    candidates and differing from both A1 and B1). Returns
+    (cands [B, R, C, 5, 2], valid [B, R, C, 5]) in candidate order —
+    merge_idx indexes the valid entries in order (compact with a
+    cumulative count, exactly TComDataCU::getInterMergeCandidates'
+    list construction)."""
+    b, r, c, _ = mv_field.shape
+
+    def shift2(dy, dx):
+        m = jnp.roll(mv_field, (-dy, -dx), axis=(1, 2))
+        ry = jnp.arange(r)[None, :, None] + dy
+        rx = jnp.arange(c)[None, None, :] + dx
+        ok = (ry >= 0) & (ry < r) & (rx >= 0) & (rx < c)
+        return jnp.where(ok[..., None], m, 0), ok
+
+    a1, va1 = shift2(0, -1)    # left
+    b1, vb1 = shift2(-1, 0)    # above
+    b0, vb0 = shift2(-1, 1)    # above-right
+    a0, vb_a0 = shift2(1, -1)  # below-left (valid only under z-order walks)
+    b2, vb2 = shift2(-1, -1)   # above-left
+
+    def ne(x, y):
+        return jnp.any(x != y, axis=-1)
+
+    v1 = va1
+    v2 = vb1 & (~va1 | ne(b1, a1))
+    v3 = vb0 & (~vb1 | ne(b0, b1))
+    v4 = vb_a0 & (~va1 | ne(a0, a1))
+    count4 = (v1.astype(jnp.int32) + v2 + v3 + v4)
+    v5 = vb2 & (count4 < 4) & (~va1 | ne(b2, a1)) & (~vb1 | ne(b2, b1))
+    cands = jnp.stack([a1, b1, b0, a0, b2], axis=-2)
+    valid = jnp.stack([v1, v2, v3, v4, v5], axis=-1)
+    return cands, valid

@@ -7,6 +7,7 @@ reference semantics: the two-pass 14-bit interpolation arithmetic
 binarization length.
 """
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -168,3 +169,106 @@ def test_amvp_candidates_shift():
     a, b = (np.asarray(x) for x in inter.amvp_candidates(f))
     assert (a[:, :, 1:] == f[:, :, :-1]).all() and (a[:, :, 0] == 0).all()
     assert (b[:, 1:] == f[:, :-1]).all() and (b[:, 0] == 0).all()
+
+
+# ---------------------------------------------------------------------------
+# Weighted prediction (WeightPredAnalysis.cpp:351-440,
+# TComWeightPrediction.cpp:46-64)
+# ---------------------------------------------------------------------------
+
+
+def test_wp_estimate_identity():
+    """Identical statistics -> default weight (1<<denom), zero offset."""
+    w, o, ok = inter.wp_estimate(1000.0, 500.0, 1000.0, 500.0)
+    assert int(w) == 64 and int(o) == 0 and bool(ok)
+
+
+def test_wp_estimate_gain_and_offset():
+    """A pure gain g maps to weight round(g*64); a pure DC shift maps to
+    the offset (scalar arithmetic of xUpdatingWPParameters)."""
+    n = 64 * 64
+    # ref frame: per-sample DC 128, AC sum 10n; cur = 1.25x AC, +5 DC
+    dc_r, ac_r = 128.0, 10.0 * n
+    dc_c, ac_c = 133.0, 12.5 * n
+    w, o, ok = inter.wp_estimate(dc_c, ac_c, dc_r, ac_r)
+    assert bool(ok)
+    assert int(w) == round(1.25 * 64)
+    exp_off = ((int(dc_c) << 6) - int(w) * int(dc_r) + 32) >> 6
+    assert int(o) == max(-128, min(127, exp_off))
+
+
+def test_wp_apply_matches_scalar():
+    """weightUnidir on the 14-bit intermediates vs the scalar formula."""
+    rng = np.random.default_rng(0)
+    pel = rng.integers(0, 256, (2, 8, 8)).astype(np.int32)
+    p14 = (pel << 6) - (1 << 13)
+    for w, o in ((64, 0), (80, -3), (40, 12)):
+        got = np.asarray(inter.wp_apply(jnp.asarray(p14), w, o))
+        shift = 6 + 6
+        rnd = 1 << (shift - 1)
+        exp = np.clip(((w * (p14 + (1 << 13)) + rnd) >> shift) + o, 0, 255)
+        assert (got == exp).all(), (w, o)
+    # default weight/offset reproduces the unweighted rounding exactly
+    got = np.asarray(inter.wp_apply(jnp.asarray(p14), 64, 0))
+    assert (got == pel).all()
+
+
+def test_wp_apply_bi_matches_scalar():
+    rng = np.random.default_rng(1)
+    pel0 = rng.integers(0, 256, (1, 8, 8)).astype(np.int32)
+    pel1 = rng.integers(0, 256, (1, 8, 8)).astype(np.int32)
+    p0 = (pel0 << 6) - (1 << 13)
+    p1 = (pel1 << 6) - (1 << 13)
+    w0, o0, w1, o1 = 70, 2, 58, -1
+    got = np.asarray(inter.wp_apply_bi(jnp.asarray(p0), jnp.asarray(p1),
+                                       w0, o0, w1, o1))
+    shift = 6 + 6 + 1
+    rnd = 1 << (shift - 1)
+    off = (o0 + o1 + 1) >> 1
+    exp = np.clip((w0 * (p0 + (1 << 13)) + w1 * (p1 + (1 << 13))
+                   + rnd + (off << (shift - 1))) >> shift, 0, 255)
+    assert (got == exp).all()
+
+
+def test_wp_select_prefers_weighting_on_fade():
+    """A global fade: the weighted reference must win the SAD check."""
+    rng = np.random.default_rng(2)
+    ref = rng.integers(40, 200, (1, 32, 32)).astype(np.int32)
+    cur = np.clip((ref * 0.7).astype(np.int32) + 10, 0, 255)
+    dc_c, ac_c = (np.asarray(v) for v in inter.wp_acdc(jnp.asarray(cur)))
+    dc_r, ac_r = (np.asarray(v) for v in inter.wp_acdc(jnp.asarray(ref)))
+    w, o, ok = inter.wp_estimate(dc_c, ac_c, dc_r, ac_r)
+    assert bool(ok.all())
+    use = np.asarray(inter.wp_select(jnp.asarray(cur), jnp.asarray(ref),
+                                     jnp.asarray(w)[:, None, None],
+                                     jnp.asarray(o)[:, None, None]))
+    assert bool(use.all())
+    # and on an identical pair, weighting must NOT be selected
+    use0 = np.asarray(inter.wp_select(jnp.asarray(ref), jnp.asarray(ref),
+                                      64, 0))
+    assert not bool(use0.any())
+
+
+# ---------------------------------------------------------------------------
+# Merge candidate derivation (8.5.3.2.3)
+# ---------------------------------------------------------------------------
+
+
+def test_merge_candidates_pruning():
+    mvf = np.zeros((1, 3, 3, 2), np.int32)
+    mvf[0, 0, 1] = (4, 0)     # above of center
+    mvf[0, 1, 0] = (4, 0)     # left of center == above -> B1 pruned
+    mvf[0, 0, 2] = (8, 8)     # above-right of center
+    mvf[0, 2, 0] = (4, 0)     # below-left == A1 -> A0 pruned
+    mvf[0, 0, 0] = (1, 2)     # above-left (B2)
+    cands, valid = (np.asarray(a) for a in
+                    inter.merge_candidates(jnp.asarray(mvf)))
+    v = valid[0, 1, 1]
+    c = cands[0, 1, 1]
+    assert v[0] and (c[0] == (4, 0)).all()        # A1
+    assert not v[1]                               # B1 pruned (== A1)
+    assert v[2] and (c[2] == (8, 8)).all()        # B0 (differs from B1)
+    assert not v[3]                               # A0 pruned (== A1)
+    assert v[4] and (c[4] == (1, 2)).all()        # B2 (count < 4)
+    # corner block: no left/above neighbors -> nothing valid
+    assert not valid[0, 0, 0].any()
