@@ -29,6 +29,7 @@ class Decoder:
         self.pps = None
         self.frames = []  # (recon_y, recon_u, recon_v)
         self.hashes_ok = []  # one bool per decoded-picture-hash SEI
+        self.prefix_seis = []  # (payload_type, payload) of prefix SEIs
 
     def decode(self, stream: bytes):
         """Decode; raises headers.DecodeError (with a message naming the
@@ -49,6 +50,11 @@ class Decoder:
                         raise headers.DecodeError(
                             "slice before SPS/PPS activation")
                     self._decode_slice(rbsp, nal_type)
+                elif nal_type == headers.NAL_SEI_PREFIX:
+                    # prefix SEIs (active_parameter_sets, recovery_point,
+                    # user data, ...): recorded, unknown types discarded
+                    # with the SEIread warn-and-skip discipline
+                    self.prefix_seis.extend(headers.parse_sei_messages(rbsp))
                 elif nal_type == headers.NAL_SEI_SUFFIX:
                     parsed = headers.parse_hash_sei(rbsp)
                     if parsed is not None:
@@ -140,9 +146,16 @@ def parameter_set_nals(cfg: headers.StreamConfig) -> bytes:
     return bytes(out)
 
 
+NAL_CRA = 21
+
+
 def encode_frame_nals(cfg: headers.StreamConfig, fr: dict,
-                      use_native: bool | None = None) -> bytes:
-    """Slice (+hash-SEI) NAL units for one frame dict (all batch entries)."""
+                      use_native: bool | None = None,
+                      nal_type: int = headers.NAL_IDR_W_RADL,
+                      poc0: int = 0) -> bytes:
+    """Slice (+hash-SEI) NAL units for one frame dict (all batch
+    entries). nal_type NAL_CRA emits CRA pictures with POCs poc0,
+    poc0+1, ... (the batch's picture order)."""
     from hevctpu import native
     from hevctpu.codec.syntax import SliceEncoder
 
@@ -192,16 +205,27 @@ def encode_frame_nals(cfg: headers.StreamConfig, fr: dict,
     out = bytearray()
     b = fr["depth8"].shape[0]
     for i in range(b):
-        if use_native:
+        poc = poc0 + i
+        if use_native and nal_type == headers.NAL_IDR_W_RADL:
             rbsp = headers.write_slice_header(fcfg).data()
             rbsp += native.encode_slice_data(
                 fcfg.width, fcfg.height, fcfg.qp, fr, i,
                 sbh=fcfg.sign_data_hiding,
                 max_tu_depth=fcfg.max_tu_depth_intra,
                 transform_skip=fcfg.transform_skip)
+        elif use_native:
+            # native coder emits slice data only; prepend the CRA header
+            rbsp = headers.write_slice_header(
+                fcfg, nal_type=nal_type, poc=poc).data()
+            rbsp += native.encode_slice_data(
+                fcfg.width, fcfg.height, fcfg.qp, fr, i,
+                sbh=fcfg.sign_data_hiding,
+                max_tu_depth=fcfg.max_tu_depth_intra,
+                transform_skip=fcfg.transform_skip)
         else:
-            rbsp = SliceEncoder(fcfg, fr, i).encode()
-        out += bitio.nal_unit(headers.NAL_IDR_W_RADL, rbsp)
+            rbsp = SliceEncoder(fcfg, fr, i,
+                                nal_type=nal_type, poc=poc).encode()
+        out += bitio.nal_unit(nal_type, rbsp)
         htype = fcfg.hash_type
         if htype != "none":
             if "recon_y" in fr:
@@ -230,14 +254,48 @@ def encode_frame_nals(cfg: headers.StreamConfig, fr: dict,
 
 
 def encode_stream(cfg: headers.StreamConfig, frames: list[dict],
-                  use_native: bool | None = None) -> bytes:
+                  use_native: bool | None = None,
+                  prefix_seis: bool = False,
+                  cra_refresh: bool = False) -> bytes:
     """Assemble a full Annex-B stream: VPS/SPS/PPS + one IDR per frame.
 
     The slice-data CABAC pass runs in the native C++ coder when available
     (hevctpu/native — byte-identical to codec/syntax.py, ~100x faster);
     pass use_native=False to force the Python golden path.
+    prefix_seis=True additionally emits active_parameter_sets and
+    recovery_point prefix SEIs (SEIEncoder initActiveParameterSetsSEI /
+    initSEIRecoveryPoint roles, gated like HM's SEIActiveParameterSets /
+    RecoveryPointSEI options). cra_refresh=True emits picture 0 as IDR
+    and later pictures as CRA with POC — HM's DecodingRefreshType=1
+    stream shape (TEncGOP POC/IRAP plumbing for the AI operating
+    point).
     """
     out = bytearray(parameter_set_nals(cfg))
+    if prefix_seis:
+        out += bitio.nal_unit(headers.NAL_SEI_PREFIX,
+                              headers.write_active_parameter_sets_sei())
+    poc = 0
     for fr in frames:
-        out += encode_frame_nals(cfg, fr, use_native)
+        if prefix_seis:
+            out += bitio.nal_unit(headers.NAL_SEI_PREFIX,
+                                  headers.write_recovery_point_sei())
+        b = fr["depth8"].shape[0]
+        if cra_refresh and poc > 0:
+            out += encode_frame_nals(cfg, fr, use_native,
+                                     nal_type=NAL_CRA, poc0=poc)
+        elif cra_refresh and b > 1:
+            # first batch: IDR for picture 0, CRA for the rest
+            import numpy as _np
+            fr0 = {k: (v[:1] if isinstance(v, _np.ndarray) and
+                       v.ndim > 0 and v.shape[0] == b else v)
+                   for k, v in fr.items()}
+            frr = {k: (v[1:] if isinstance(v, _np.ndarray) and
+                       v.ndim > 0 and v.shape[0] == b else v)
+                   for k, v in fr.items()}
+            out += encode_frame_nals(cfg, fr0, use_native)
+            out += encode_frame_nals(cfg, frr, use_native,
+                                     nal_type=NAL_CRA, poc0=1)
+        else:
+            out += encode_frame_nals(cfg, fr, use_native)
+        poc += b
     return bytes(out)

@@ -21,9 +21,13 @@ NAL_IDR_W_RADL = 19
 NAL_VPS = 32
 NAL_SPS = 33
 NAL_PPS = 34
+NAL_SEI_PREFIX = 39
 NAL_SEI_SUFFIX = 40
 
+SEI_ACTIVE_PARAMETER_SETS = 129
 SEI_DECODED_PICTURE_HASH = 132
+SEI_RECOVERY_POINT = 6
+SEI_USER_DATA_UNREGISTERED = 5
 
 
 @dataclasses.dataclass
@@ -262,6 +266,89 @@ def write_hash_sei_digests(digests, hash_type: str = "md5") -> bytes:
     return bw.data()
 
 
+def _sei_rbsp(payload_type: int, payload: bytes) -> bytes:
+    """One SEI message in an RBSP (7.3.5: ff-escaped type/size bytes;
+    SEIwrite.cpp xWriteSEIpayloadData framing)."""
+    bw = BitWriter()
+    t = payload_type
+    while t >= 255:
+        bw.u(255, 8)
+        t -= 255
+    bw.u(t, 8)
+    s = len(payload)
+    while s >= 255:
+        bw.u(255, 8)
+        s -= 255
+    bw.u(s, 8)
+    for byte in payload:
+        bw.u(byte, 8)
+    bw.byte_align_rbsp()
+    return bw.data()
+
+
+def write_active_parameter_sets_sei() -> bytes:
+    """active_parameter_sets SEI (D.2.21; SEIEncoder::
+    initActiveParameterSetsSEI): names the active VPS/SPS ids — both 0
+    in this encoder's streams."""
+    bw = BitWriter()
+    bw.u(0, 4)     # active_video_parameter_set_id
+    bw.flag(1)     # self_contained_cvs_flag (every IRAP starts a CVS)
+    bw.flag(0)     # no_parameter_set_update_flag
+    bw.ue(0)       # num_sps_ids_minus1
+    bw.ue(0)       # active_seq_parameter_set_id[0]
+    bw.byte_align_rbsp()
+    return _sei_rbsp(SEI_ACTIVE_PARAMETER_SETS, bw.data())
+
+
+def write_recovery_point_sei(recovery_poc_cnt: int = 0,
+                             exact_match: bool = True) -> bytes:
+    """recovery_point SEI (D.2.8; SEIEncoder::initSEIRecoveryPoint) —
+    for All-Intra every picture is its own recovery point."""
+    bw = BitWriter()
+    bw.se(recovery_poc_cnt)
+    bw.flag(exact_match)
+    bw.flag(0)     # broken_link_flag
+    bw.byte_align_rbsp()
+    return _sei_rbsp(SEI_RECOVERY_POINT, bw.data())
+
+
+def write_user_data_sei(uuid: bytes, data: bytes) -> bytes:
+    """user_data_unregistered SEI (D.2.7)."""
+    assert len(uuid) == 16
+    return _sei_rbsp(SEI_USER_DATA_UNREGISTERED, uuid + data)
+
+
+def parse_sei_messages(rbsp: bytes):
+    """[(payload_type, payload_bytes)] of every message in an SEI RBSP
+    (7.3.5 framing; unknown payload types are returned, not rejected —
+    the SEIread discard-with-warning discipline)."""
+    out = []
+    i = 0
+    n = len(rbsp)
+    while i < n:
+        if rbsp[i] == 0x80 and i == n - 1:
+            break  # rbsp_trailing_bits
+        t = 0
+        while i < n and rbsp[i] == 255:
+            t += 255
+            i += 1
+        if i >= n:
+            break
+        t += rbsp[i]
+        i += 1
+        s = 0
+        while i < n and rbsp[i] == 255:
+            s += 255
+            i += 1
+        if i >= n:
+            break
+        s += rbsp[i]
+        i += 1
+        out.append((t, rbsp[i:i + s]))
+        i += s
+    return out
+
+
 def write_hash_sei(recon_y, recon_u, recon_v,
                    hash_type: str = "md5") -> bytes:
     """Decoded-picture-hash suffix-SEI RBSP computed from the recon planes
@@ -290,17 +377,28 @@ def parse_hash_sei(rbsp: bytes):
 
 
 def write_slice_header(cfg: StreamConfig,
-                       entry_points: list | None = None) -> BitWriter:
-    """IDR I-slice header; returns the writer so CABAC data can follow.
+                       entry_points: list | None = None,
+                       nal_type: int = NAL_IDR_W_RADL,
+                       poc: int = 0) -> BitWriter:
+    """IRAP I-slice header; returns the writer so CABAC data can follow.
 
     entry_points: post-emulation-prevention byte sizes of all WPP
     substreams except the last (7.3.6.1 num_entry_point_offsets;
-    TEncCavlc::codeTilesWPPEntryPoint) — required when cfg.wpp."""
+    TEncCavlc::codeTilesWPPEntryPoint) — required when cfg.wpp.
+    nal_type NAL_CRA (21) writes the non-IDR fields: slice_pic_order_cnt
+    _lsb and an empty inline st_ref_pic_set — the DecodingRefreshType=1
+    stream shape HM's All-Intra anchor emits (TEncGOP non-IDR IRAP
+    path)."""
     bw = BitWriter()
     bw.flag(1)            # first_slice_segment_in_pic_flag
     bw.flag(0)            # no_output_of_prior_pics_flag (IRAP)
     bw.ue(0)              # slice_pic_parameter_set_id
     bw.ue(2)              # slice_type = I
+    if nal_type not in (NAL_IDR_W_RADL, 20):
+        bw.u(poc & 0xFF, 8)  # slice_pic_order_cnt_lsb (log2 max = 8)
+        bw.flag(0)        # short_term_ref_pic_set_sps_flag
+        bw.ue(0)          # st_ref_pic_set: num_negative_pics
+        bw.ue(0)          #                 num_positive_pics
     if cfg.sao:
         bw.flag(1)        # slice_sao_luma_flag
         bw.flag(1)        # slice_sao_chroma_flag

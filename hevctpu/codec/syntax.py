@@ -126,10 +126,13 @@ class _Walker:
 class SliceEncoder(_Walker):
     """Serializes one frame's decisions into a slice-data RBSP."""
 
-    def __init__(self, cfg, frame: dict, frame_idx: int = 0):
+    def __init__(self, cfg, frame: dict, frame_idx: int = 0,
+                 nal_type: int = headers.NAL_IDR_W_RADL, poc: int = 0):
         super().__init__(cfg)
         self.f = frame
         self.i = frame_idx
+        self.nal_type = nal_type
+        self.poc = poc
         self.depth8 = frame["depth8"][frame_idx]
         self.coded8 = frame["coded8"][frame_idx]
         mode8 = frame["mode8"][frame_idx]
@@ -171,7 +174,8 @@ class SliceEncoder(_Walker):
     def encode(self) -> bytes:
         if self.cfg.wpp:
             return self._encode_wpp()
-        bw = headers.write_slice_header(self.cfg)
+        bw = headers.write_slice_header(self.cfg, nal_type=self.nal_type,
+                                        poc=self.poc)
         self.ctx = ContextSet(self.cfg.qp, init_type=0)
         self.c = CabacEncoder(bw)
         n_ctu = self.rc * self.cc
@@ -236,7 +240,9 @@ class SliceEncoder(_Walker):
         # emulation-prevention zero-run never crosses a boundary and the
         # per-substream counts compose exactly.
         eps = [len(bitio.rbsp_to_ebsp(s)) for s in subs[:-1]]
-        hdr = headers.write_slice_header(self.cfg, eps)
+        hdr = headers.write_slice_header(self.cfg, eps,
+                                         nal_type=self.nal_type,
+                                         poc=self.poc)
         return hdr.data() + b"".join(subs)
 
     def _maybe_code_delta(self):

@@ -76,6 +76,8 @@ _SLOW_PREDICATES = {
     "test_convnet2.py": lambda n: n == "test_forward_matches_torch",
     # fast tier keeps the shared-fixture roundtrip + the pure-host guards;
     # the extra encoder compiles (constant-map, LCU alloc) are slow
+    "test_sei_poc.py": lambda n: n not in ("test_sei_framing_roundtrip",
+                                           "test_cra_refresh_roundtrip"),
     "test_wpp.py": lambda n: n not in ("test_wpp_roundtrip",
                                        "test_wpp_entry_points_parse"),
     "test_cuqp.py": lambda n: n in (
