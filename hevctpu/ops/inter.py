@@ -307,11 +307,15 @@ def wp_acdc(plane: jnp.ndarray):
     the rounded per-sample mean ((Σx + N/2) / N), AC = Σ|x − DC| (the
     un-normalized absolute-deviation sum), both integer like HM's
     Int64 accumulation."""
-    x = plane.astype(jnp.int64) if plane.dtype != jnp.int32 else plane
-    s = jnp.sum(x, axis=(-2, -1))
+    # float32 tree-sum: Σx of an 8-bit 4K frame (~2.1e9) overflows int32
+    # and x64 is disabled under jit; XLA's pairwise reduction keeps the
+    # f32 error well under the ±0.5 rounding granularity of the DC.
+    xf = plane.astype(jnp.float32)
     n = plane.shape[-2] * plane.shape[-1]
-    dc = (s + n // 2) // n
-    ac = jnp.sum(jnp.abs(x - dc[..., None, None]), axis=(-2, -1))
+    dc = jnp.floor((jnp.sum(xf, axis=(-2, -1)) + n / 2) / n).astype(
+        jnp.int32)
+    ac = jnp.sum(jnp.abs(xf - dc[..., None, None].astype(jnp.float32)),
+                 axis=(-2, -1))
     return dc, ac
 
 
