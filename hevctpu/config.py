@@ -55,7 +55,7 @@ class EncoderConfig:
     wpp: bool = False                 # entropy_coding_sync (WPP) substreams
     adaptive_qp: bool = False         # TM5-step-3 preanalysis QP offset
     hash_type: str = "md5"            # DecodedPictureHashSEI type
-    rate_model: str = "ctx"           # search rate estimator: ctx | global
+    rate_model: str = "global"        # search rate estimator: global | ctx
 
     def __post_init__(self):
         if self.search not in ("cnn", "rd"):

@@ -872,7 +872,7 @@ class FrameEncoder:
                  search: str = "cnn", rdoq: bool = True, sao: bool = True,
                  sbh: bool = True, nxn: bool = True, tu_split: bool = True,
                  ts: bool = True, two_pass: bool = False,
-                 rate_model: str = "ctx"):
+                 rate_model: str = "global"):
         assert h % 8 == 0 and w % 8 == 0, "HEVC requires dims % minCU == 0"
         assert search in ("cnn", "rd")
         assert rate_model in ("ctx", "global")
